@@ -1,0 +1,206 @@
+"""FAST-16 corner detection + NMS + tiled top-k keypoint distribution.
+
+TPU-native replacement for the reference's per-cell cv::FAST calls plus the
+quadtree keypoint distribution (ORBextractor::ComputeKeyPointsOctTree,
+DistributeOctTree — SURVEY.md §2 #1, hot loop 1 in §3.1).
+
+Design notes (tpu-first):
+* The 16-pixel Bresenham circle test is evaluated for ALL pixels at once as
+  16 shifted copies of the image — a pure VPU stencil XLA fuses well; no
+  per-pixel branching.
+* The reference's two-threshold scheme (iniThFAST, fall back to minThFAST in
+  cells with no response) is reproduced by detecting at the LOW threshold and
+  adding a large score bonus to corners that also pass the HIGH threshold:
+  per-tile top-k then prefers high-threshold corners and falls back to
+  low-threshold ones exactly when the tile has no strong corner.
+* The quadtree spatial distribution is replaced by per-tile top-k (static
+  shapes) followed by a global per-level top-n — the same "spread keypoints
+  spatially, keep the best response" objective with compiler-friendly
+  control flow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .pyramid import PyramidSpec
+
+# Bresenham circle of radius 3 (same order as OpenCV FAST_9_16).
+CIRCLE_OFFSETS = (
+    (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
+    (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-3 + 4, 3),
+)
+# NOTE: last entry corrected below; keep the canonical table explicit:
+CIRCLE_OFFSETS = (
+    (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
+    (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-1, 3),
+)
+
+ARC_LEN = 9  # FAST_9_16 contiguity requirement
+SCORE_BONUS = 1e6  # added to corners passing the high threshold
+
+
+def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift so out[y, x] = img[y + dy, x + dx], zero fill (border is masked
+    out downstream anyway)."""
+    return jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
+
+
+def fast_score_map(img: jnp.ndarray, th_low: float, th_high: float) -> jnp.ndarray:
+    """Per-pixel FAST-9/16 corner score.
+
+    Score = sum over the circle of |I_c - I_p| - t for pixels on the
+    dominant (bright or dark) side — the standard SAD-style response — plus
+    SCORE_BONUS where the corner also passes `th_high`.
+    Non-corners get score 0.
+    """
+    center = img
+    ring = jnp.stack([_shift2d(img, dy, dx) for (dx, dy) in CIRCLE_OFFSETS])  # [16,H,W]
+
+    def corner_mask_and_score(th):
+        bright = ring > center[None] + th
+        dark = ring < center[None] - th
+        # Contiguous arc of ARC_LEN via AND over a sliding circular window.
+        ring2_b = jnp.concatenate([bright, bright[: ARC_LEN - 1]], axis=0)
+        ring2_d = jnp.concatenate([dark, dark[: ARC_LEN - 1]], axis=0)
+        arc_b = jnp.ones_like(center, dtype=bool)
+        arc_d = jnp.ones_like(center, dtype=bool)
+        any_b = jnp.zeros_like(center, dtype=bool)
+        any_d = jnp.zeros_like(center, dtype=bool)
+        for s in range(16):
+            arc_b = jnp.all(ring2_b[s : s + ARC_LEN], axis=0)
+            arc_d = jnp.all(ring2_d[s : s + ARC_LEN], axis=0)
+            any_b = any_b | arc_b
+            any_d = any_d | arc_d
+        is_corner = any_b | any_d
+        diff = ring - center[None]
+        sb = jnp.sum(jnp.maximum(diff - th, 0.0), axis=0)
+        sd = jnp.sum(jnp.maximum(-diff - th, 0.0), axis=0)
+        score = jnp.where(any_b, sb, 0.0) + jnp.where(any_d, sd, 0.0)
+        return is_corner, score
+
+    low_corner, low_score = corner_mask_and_score(th_low)
+    high_corner, _ = corner_mask_and_score(th_high)
+    score = jnp.where(low_corner, low_score, 0.0)
+    score = score + jnp.where(high_corner & low_corner, SCORE_BONUS, 0.0)
+    return score
+
+
+def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """Keep only local maxima of the 3x3 neighborhood (ties broken toward the
+    top-left cell by strict comparison against shifted versions)."""
+    best = score
+    keep = jnp.ones_like(score, dtype=bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = _shift2d(score, dy, dx)
+            if (dy, dx) < (0, 0) or ((dy, dx) == (0, -1)):
+                keep &= best > nb  # strict vs earlier-scan neighbors
+            else:
+                keep &= best >= nb
+    return jnp.where(keep, score, 0.0)
+
+
+class LevelKeypoints(NamedTuple):
+    xy: jnp.ndarray     # [N, 2] float32 (x, y) in level pixel coords
+    score: jnp.ndarray  # [N] float32 (bonus removed)
+    valid: jnp.ndarray  # [N] bool
+
+
+def select_tiled_topk(
+    score: jnp.ndarray,
+    n_out: int,
+    tile: int = 32,
+    k_per_tile: int = 8,
+) -> LevelKeypoints:
+    """Spatially-distributed keypoint selection: top-k per tile, then global
+    top-n over tile winners.  All shapes static."""
+    H, W = score.shape
+    ph = (-H) % tile
+    pw = (-W) % tile
+    s = jnp.pad(score, ((0, ph), (0, pw)))
+    Hp, Wp = H + ph, W + pw
+    ty, tx = Hp // tile, Wp // tile
+    tiles = s.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3).reshape(ty * tx, tile * tile)
+    vals, idx = jax.lax.top_k(tiles, k_per_tile)  # [T, k]
+    # Recover global coordinates.
+    trow = jnp.arange(ty * tx) // tx
+    tcol = jnp.arange(ty * tx) % tx
+    yy = trow[:, None] * tile + idx // tile
+    xx = tcol[:, None] * tile + idx % tile
+    flat_vals = vals.reshape(-1)
+    flat_y = yy.reshape(-1)
+    flat_x = xx.reshape(-1)
+    n_out = min(n_out, flat_vals.shape[0])
+    top_vals, top_i = jax.lax.top_k(flat_vals, n_out)
+    sel_y = flat_y[top_i].astype(jnp.float32)
+    sel_x = flat_x[top_i].astype(jnp.float32)
+    valid = top_vals > 0.0
+    score_clean = jnp.where(top_vals >= SCORE_BONUS, top_vals - SCORE_BONUS, top_vals)
+    xy = jnp.stack([sel_x, sel_y], axis=-1)
+    return LevelKeypoints(xy=xy, score=jnp.where(valid, score_clean, 0.0), valid=valid)
+
+
+def level_feature_counts(spec: PyramidSpec, n_features: int) -> tuple:
+    """Per-level desired feature counts, geometric in 1/scale_factor like the
+    reference (ORBextractor ctor: mnFeaturesPerLevel)."""
+    inv = 1.0 / spec.scale_factor
+    counts = []
+    acc = 0
+    ndesired = n_features * (1 - inv) / (1 - inv ** spec.n_levels)
+    for lvl in range(spec.n_levels - 1):
+        c = int(round(ndesired * inv ** lvl))
+        counts.append(c)
+        acc += c
+    counts.append(max(n_features - acc, 0))
+    return tuple(counts)
+
+
+@partial(jax.jit, static_argnames=("spec", "n_features", "border", "tile", "k_per_tile"))
+def detect_pyramid(
+    pyr: jnp.ndarray,
+    spec: PyramidSpec,
+    n_features: int = 1024,
+    th_high: float = 20.0,
+    th_low: float = 7.0,
+    border: int = 19,
+    tile: int = 32,
+    k_per_tile: int = 8,
+):
+    """Detect FAST keypoints on every pyramid level.
+
+    Returns dict of [N_total]-shaped arrays (N_total = sum of per-level
+    budgets, static): ``xy_level`` (level px coords), ``xy`` (level-0 px
+    coords), ``score``, ``octave``, ``valid``.
+    """
+    counts = level_feature_counts(spec, n_features)
+    out_xy_l, out_xy0, out_score, out_oct, out_valid = [], [], [], [], []
+    for lvl in range(spec.n_levels):
+        h_l, w_l = spec.level_sizes[lvl]
+        img = pyr[lvl]
+        score = fast_score_map(img, th_low, th_high)
+        score = nms3x3(score)
+        # Mask borders of the *valid* region (static per level).
+        mask = jnp.zeros((spec.height, spec.width), dtype=bool)
+        mask = mask.at[border : h_l - border, border : w_l - border].set(True)
+        score = jnp.where(mask, score, 0.0)
+        kps = select_tiled_topk(score, counts[lvl], tile=tile, k_per_tile=k_per_tile)
+        s = spec.scale_factor ** lvl
+        out_xy_l.append(kps.xy)
+        out_xy0.append(kps.xy * s)
+        out_score.append(kps.score)
+        out_oct.append(jnp.full((kps.xy.shape[0],), lvl, dtype=jnp.int32))
+        out_valid.append(kps.valid)
+    return {
+        "xy_level": jnp.concatenate(out_xy_l),
+        "xy": jnp.concatenate(out_xy0),
+        "score": jnp.concatenate(out_score),
+        "octave": jnp.concatenate(out_oct),
+        "valid": jnp.concatenate(out_valid),
+    }
