@@ -53,41 +53,34 @@ def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 def fast_score_map(img: jnp.ndarray, th_low: float, th_high: float) -> jnp.ndarray:
     """Per-pixel FAST-9/16 corner score.
 
-    Score = sum over the circle of |I_c - I_p| - t for pixels on the
-    dominant (bright or dark) side — the standard SAD-style response — plus
-    SCORE_BONUS where the corner also passes `th_high`.
+    Score = the OpenCV FAST score: the largest threshold t for which the
+    pixel is still a corner, i.e. ``max over 16 arcs of (min arc
+    difference)`` on the dominant bright/dark side.  This makes our 3x3 NMS
+    pick the same winners as cv::FAST(nonmaxSuppression=true).
+
+    A pixel is a corner iff score > th_low; SCORE_BONUS is added where it
+    also passes th_high (two-threshold fallback scheme, see module doc).
     Non-corners get score 0.
     """
     center = img
     ring = jnp.stack([_shift2d(img, dy, dx) for (dx, dy) in CIRCLE_OFFSETS])  # [16,H,W]
+    diff = ring - center[None]
 
-    def corner_mask_and_score(th):
-        bright = ring > center[None] + th
-        dark = ring < center[None] - th
-        # Contiguous arc of ARC_LEN via AND over a sliding circular window.
-        ring2_b = jnp.concatenate([bright, bright[: ARC_LEN - 1]], axis=0)
-        ring2_d = jnp.concatenate([dark, dark[: ARC_LEN - 1]], axis=0)
-        arc_b = jnp.ones_like(center, dtype=bool)
-        arc_d = jnp.ones_like(center, dtype=bool)
-        any_b = jnp.zeros_like(center, dtype=bool)
-        any_d = jnp.zeros_like(center, dtype=bool)
-        for s in range(16):
-            arc_b = jnp.all(ring2_b[s : s + ARC_LEN], axis=0)
-            arc_d = jnp.all(ring2_d[s : s + ARC_LEN], axis=0)
-            any_b = any_b | arc_b
-            any_d = any_d | arc_d
-        is_corner = any_b | any_d
-        diff = ring - center[None]
-        sb = jnp.sum(jnp.maximum(diff - th, 0.0), axis=0)
-        sd = jnp.sum(jnp.maximum(-diff - th, 0.0), axis=0)
-        score = jnp.where(any_b, sb, 0.0) + jnp.where(any_d, sd, 0.0)
-        return is_corner, score
+    def arc_min_max(d):
+        # Sliding circular-window min of length 9 via log-doubling on the
+        # ring axis (roll wraps, which is exactly the circular semantics),
+        # then max over the 16 window starts: ~6 ops instead of 144.
+        w2 = jnp.minimum(d, jnp.roll(d, -1, axis=0))
+        w4 = jnp.minimum(w2, jnp.roll(w2, -2, axis=0))
+        w8 = jnp.minimum(w4, jnp.roll(w4, -4, axis=0))
+        w9 = jnp.minimum(w8, jnp.roll(d, -8, axis=0))
+        return jnp.max(w9, axis=0)
 
-    low_corner, low_score = corner_mask_and_score(th_low)
-    high_corner, _ = corner_mask_and_score(th_high)
-    score = jnp.where(low_corner, low_score, 0.0)
-    score = score + jnp.where(high_corner & low_corner, SCORE_BONUS, 0.0)
-    return score
+    score = jnp.maximum(arc_min_max(diff), arc_min_max(-diff))
+    is_low = score > th_low
+    is_high = score > th_high
+    out = jnp.where(is_low, score, 0.0)
+    return out + jnp.where(is_high, SCORE_BONUS, 0.0)
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:

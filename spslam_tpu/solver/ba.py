@@ -1,0 +1,442 @@
+"""Joint point-plane-pose bundle adjustment with Schur landmark elimination.
+
+TPU-native replacement for the reference's Optimizer::LocalBundleAdjustment
+/ GlobalBundleAdjustment (Optimizer.cc — SURVEY.md §2 #11, §3.2 hot loop 5)
+including SP-SLAM's plane vertices (minimal azimuth/elevation/distance
+chart) and pose-plane observation edges plus parallel/perpendicular
+"supposed plane" constraint edges.
+
+Design (tpu-first, see SURVEY.md §7):
+* The problem is a fixed-shape SoA pytree: M poses, P points, L planes,
+  R point observations, Q plane observations, E plane-plane edges — all
+  padded with validity masks, so the whole LM loop jits once per shape.
+* Per-iteration linear algebra:
+    - point blocks Hpp [P,3,3] are inverted in closed form (batched 3x3),
+    - the reduced camera+plane system S (dim 6M + 3L) is assembled DENSE
+      with vectorized block scatter-adds and solved by Cholesky.  Planes
+      are few (L <= 64) so they ride in the reduced system instead of
+      being eliminated.
+    - the Schur cross terms iterate over per-point observation PAIRS via a
+      padded [P, OMAX] observation table — O(P * OMAX^2) 6x6 matmuls,
+      batched on the VPU/MXU.
+* Outlier handling mirrors the reference: Huber kernels, then a chi2 gate
+  between two LM stages re-classifying observations.
+* Fixed poses (boundary keyframes) are handled by zeroing their rows/cols
+  in S and pinning the diagonal.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import Intrinsics
+from ..geometry.lie import quat_rotate, quat_to_mat, se3_q, se3_retract, se3_t
+from ..geometry.plane import plane_error, plane_retract, transform_plane
+from .robust import CHI2_2D, CHI2_3D, huber_weight
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape BA problem. Indices refer to the padded arrays; -1 / False
+    marks padding."""
+
+    poses: jnp.ndarray        # [M, 7] T_cw
+    pose_fixed: jnp.ndarray   # [M] bool (gauge / boundary KFs)
+    pose_valid: jnp.ndarray   # [M] bool
+    points: jnp.ndarray       # [P, 3] world points
+    point_valid: jnp.ndarray  # [P] bool
+    # point observations
+    obs_cam: jnp.ndarray      # [R] int32 -> M
+    obs_pt: jnp.ndarray       # [R] int32 -> P
+    obs_uv: jnp.ndarray       # [R, 2]
+    obs_ur: jnp.ndarray       # [R] virtual-right u, <0 if mono
+    obs_inv_sigma2: jnp.ndarray  # [R]
+    obs_valid: jnp.ndarray    # [R] bool
+    pt_obs: jnp.ndarray       # [P, OMAX] int32 -> R (-1 pad) observation table
+    # plane landmarks
+    planes: jnp.ndarray       # [L, 4] world planes (n, d)
+    plane_valid: jnp.ndarray  # [L] bool
+    pobs_cam: jnp.ndarray     # [Q] int32 -> M
+    pobs_plane: jnp.ndarray   # [Q] int32 -> L
+    pobs_pi: jnp.ndarray      # [Q, 4] observed plane in camera frame
+    pobs_w: jnp.ndarray       # [Q] information weight
+    pobs_valid: jnp.ndarray   # [Q] bool
+    # plane-plane structural edges ("supposed planes")
+    pp_a: jnp.ndarray         # [E] int32 -> L
+    pp_b: jnp.ndarray         # [E] int32 -> L
+    pp_type: jnp.ndarray      # [E] int32: 0 parallel, 1 perpendicular
+    pp_w: jnp.ndarray         # [E]
+    pp_valid: jnp.ndarray     # [E] bool
+
+
+class BAResult(NamedTuple):
+    poses: jnp.ndarray
+    points: jnp.ndarray
+    planes: jnp.ndarray
+    obs_inlier: jnp.ndarray   # [R] bool post-gating classification
+    pobs_inlier: jnp.ndarray  # [Q] bool
+    cost: jnp.ndarray         # final robust cost
+
+
+# ---------------------------------------------------------------------------
+# Residuals and Jacobians
+# ---------------------------------------------------------------------------
+
+
+def _point_residuals(poses, points, prob: BAProblem, intr: Intrinsics):
+    """Reprojection residuals for all point observations.
+
+    Returns e [R,3], J_c [R,3,6] (pose), J_p [R,3,3] (point), chi2 [R].
+    """
+    T = poses[prob.obs_cam]          # [R,7]
+    X = points[prob.obs_pt]          # [R,3]
+    q, t = se3_q(T), se3_t(T)
+    xc = quat_rotate(q, X) + t
+    x, y, z = xc[..., 0], xc[..., 1], jnp.maximum(xc[..., 2], 1e-6)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    u = intr.fx * x * iz + intr.cx
+    v = intr.fy * y * iz + intr.cy
+    ur = u - intr.bf * iz
+
+    has_r = prob.obs_ur >= 0
+    e = jnp.stack(
+        [
+            prob.obs_uv[..., 0] - u,
+            prob.obs_uv[..., 1] - v,
+            jnp.where(has_r, prob.obs_ur - ur, 0.0),
+        ],
+        axis=-1,
+    )
+
+    du = jnp.stack([intr.fx * iz, jnp.zeros_like(z), -intr.fx * x * iz2], axis=-1)
+    dv = jnp.stack([jnp.zeros_like(z), intr.fy * iz, -intr.fy * y * iz2], axis=-1)
+    dr = du + jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z), intr.bf * iz2], axis=-1)
+    dproj = jnp.stack([du, dv, dr], axis=-2)  # [R,3,3]
+
+    zeros, ones = jnp.zeros_like(z), jnp.ones_like(z)
+    dxc_dxi = jnp.stack(
+        [
+            jnp.stack([ones, zeros, zeros, zeros, z, -y], axis=-1),
+            jnp.stack([zeros, ones, zeros, -z, zeros, x], axis=-1),
+            jnp.stack([zeros, zeros, ones, y, -x, zeros], axis=-1),
+        ],
+        axis=-2,
+    )  # [R,3,6]
+    J_c = -(dproj @ dxc_dxi)
+    R_cw = quat_to_mat(q)            # [R,3,3]; dxc/dXw = R_cw
+    J_p = -(dproj @ R_cw)
+
+    row_mask = jnp.stack([ones, ones, has_r.astype(e.dtype)], axis=-1)
+    e = e * row_mask
+    J_c = J_c * row_mask[..., None]
+    J_p = J_p * row_mask[..., None]
+    chi2 = jnp.sum(e * e, axis=-1) * prob.obs_inv_sigma2
+    return e, J_c, J_p, chi2
+
+
+def _plane_obs_residuals(poses, planes, prob: BAProblem):
+    """Pose-plane observation residuals in the minimal (az, el, d) chart.
+
+    e [Q,3], J_c [Q,3,6], J_pl [Q,3,3], chi2 [Q].  Jacobians by forward-mode
+    autodiff of the perturbation (Q is small; exactness over hand-derivation).
+    """
+    T = poses[prob.pobs_cam]
+    piw = planes[prob.pobs_plane]
+
+    def resid(xi, dpl, T_i, piw_i, piobs_i):
+        T_pert = se3_retract(T_i, xi)
+        piw_pert = plane_retract(piw_i, dpl)
+        pred = transform_plane(T_pert, piw_pert)
+        return plane_error(piobs_i, pred)
+
+    zeros6 = jnp.zeros(6, dtype=poses.dtype)
+    zeros3 = jnp.zeros(3, dtype=poses.dtype)
+
+    def one(T_i, piw_i, piobs_i):
+        e = resid(zeros6, zeros3, T_i, piw_i, piobs_i)
+        Jc = jax.jacfwd(resid, argnums=0)(zeros6, zeros3, T_i, piw_i, piobs_i)
+        Jp = jax.jacfwd(resid, argnums=1)(zeros6, zeros3, T_i, piw_i, piobs_i)
+        return e, Jc, Jp
+
+    e, J_c, J_pl = jax.vmap(one)(T, piw, prob.pobs_pi)
+    chi2 = jnp.sum(e * e, axis=-1) * prob.pobs_w
+    return e, J_c, J_pl, chi2
+
+
+def _plane_plane_residuals(planes, prob: BAProblem):
+    """Structural edges between planes: parallel (angle between normals) or
+    perpendicular (dot of normals) — SP-SLAM's supposed-plane constraints.
+
+    Residual is 1-dimensional per edge. e [E], J_a [E,1,3], J_b [E,1,3].
+    """
+    def resid(da, db, pa, pb, typ):
+        na = plane_retract(pa, da)[0:3]
+        nb = plane_retract(pb, db)[0:3]
+        dot = jnp.sum(na * nb)
+        # parallel: 1 - |dot| -> 0 ; perpendicular: dot -> 0
+        return jnp.where(typ == 0, 1.0 - jnp.abs(dot), dot)[None]
+
+    zeros3 = jnp.zeros(3, dtype=planes.dtype)
+
+    def one(pa, pb, typ):
+        e = resid(zeros3, zeros3, pa, pb, typ)
+        Ja = jax.jacfwd(resid, argnums=0)(zeros3, zeros3, pa, pb, typ)
+        Jb = jax.jacfwd(resid, argnums=1)(zeros3, zeros3, pa, pb, typ)
+        return e, Ja, Jb
+
+    pa = planes[prob.pp_a]
+    pb = planes[prob.pp_b]
+    e, J_a, J_b = jax.vmap(one)(pa, pb, prob.pp_type)
+    return e, J_a, J_b
+
+
+# ---------------------------------------------------------------------------
+# Assembly + Schur solve
+# ---------------------------------------------------------------------------
+
+
+def _scatter_block_add(S, rows, cols, blocks):
+    """S[rows_i + a, cols_i + b] += blocks[i, a, b] for every i.
+
+    rows/cols: [T] int32 top-left offsets (send invalid terms to the dump
+    row = S.shape[0]-pad region); blocks: [T, A, B].
+    """
+    A, B = blocks.shape[1], blocks.shape[2]
+    r = rows[:, None] + jnp.arange(A, dtype=rows.dtype)[None, :]
+    c = cols[:, None] + jnp.arange(B, dtype=cols.dtype)[None, :]
+    return S.at[r[:, :, None], c[:, None, :]].add(blocks)
+
+
+def _scatter_vec_add(b, rows, vecs):
+    A = vecs.shape[1]
+    r = rows[:, None] + jnp.arange(A, dtype=rows.dtype)[None, :]
+    return b.at[r].add(vecs)
+
+
+def _solve_ba_iteration(poses, points, planes, prob: BAProblem, intr, lam,
+                        obs_w_extra, pobs_w_extra):
+    """One damped GN step. Returns (dx_poses [M,6], dp [P,3], dpl [L,3])."""
+    M = poses.shape[0]
+    L = planes.shape[0]
+    dim = 6 * M + 3 * L
+    DUMP = dim  # extra scratch row/col for masked scatter terms
+
+    e, J_c, J_p, chi2 = _point_residuals(poses, points, prob, intr)
+    delta2 = jnp.where(prob.obs_ur >= 0, CHI2_3D, CHI2_2D)
+    w = (
+        prob.obs_inv_sigma2
+        * huber_weight(chi2, delta2)
+        * obs_w_extra
+        * prob.obs_valid.astype(e.dtype)
+    )
+
+    # --- landmark blocks --------------------------------------------------
+    JpW = J_p * w[:, None, None]
+    Hpp_terms = jnp.einsum("rai,raj->rij", JpW, J_p)          # [R,3,3]
+    bp_terms = -jnp.einsum("rai,ra->ri", JpW, e)              # [R,3]
+    P = points.shape[0]
+    Hpp = jnp.zeros((P, 3, 3), e.dtype).at[prob.obs_pt].add(Hpp_terms)
+    bp = jnp.zeros((P, 3), e.dtype).at[prob.obs_pt].add(bp_terms)
+    # damp + regularize, then closed-form invert
+    Hpp = Hpp + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp)) + 1e-6 * jnp.eye(3))
+    Hpp_inv = jnp.linalg.inv(Hpp)
+    Hpp_inv = jnp.where(prob.point_valid[:, None, None], Hpp_inv, 0.0)
+
+    # --- camera blocks ----------------------------------------------------
+    JcW = J_c * w[:, None, None]
+    Hcc_terms = jnp.einsum("rai,raj->rij", JcW, J_c)          # [R,6,6]
+    bc_terms = -jnp.einsum("rai,ra->ri", JcW, e)              # [R,6]
+    W_terms = jnp.einsum("rai,raj->rij", JcW, J_p)            # [R,6,3] = Hcp
+
+    S = jnp.zeros((dim + 6, dim + 6), e.dtype)
+    b = jnp.zeros((dim + 6,), e.dtype)
+
+    cam_off = jnp.where(prob.obs_valid, prob.obs_cam * 6, DUMP)
+    S = _scatter_block_add(S, cam_off, cam_off, Hcc_terms)
+    b = _scatter_vec_add(b, cam_off, bc_terms)
+
+    # --- Schur cross terms over per-point observation pairs ---------------
+    OMAX = prob.pt_obs.shape[1]
+    obs_idx = prob.pt_obs                                     # [P, OMAX]
+    pair_valid = obs_idx >= 0
+    safe_idx = jnp.maximum(obs_idx, 0)
+    W_p = W_terms[safe_idx] * pair_valid[..., None, None]     # [P,OMAX,6,3]
+    cam_p = prob.obs_cam[safe_idx]                            # [P,OMAX]
+    bp_corr = jnp.einsum("pij,pj->pi", Hpp_inv, bp)           # [P,3]
+
+    # b reduction: bc_i -= W_ip Hpp^{-1} bp_p
+    bred = -jnp.einsum("poij,pj->poi", W_p, bp_corr)          # [P,OMAX,6]
+    rows = jnp.where(pair_valid, cam_p * 6, DUMP)
+    b = _scatter_vec_add(b, rows.reshape(-1), bred.reshape(-1, 6))
+
+    # S reduction: S_ij -= W_ip Hpp^{-1} W_jp^T  for all pairs (i, j)
+    WHinv = jnp.einsum("poij,pjk->poik", W_p, Hpp_inv)        # [P,OMAX,6,3]
+    Spairs = -jnp.einsum("poik,pqjk->poqij", WHinv, W_p)      # [P,OMAX,OMAX,6,6]
+    pv2 = pair_valid[:, :, None] & pair_valid[:, None, :]
+    r2 = jnp.where(pv2, cam_p[:, :, None] * 6, DUMP)
+    c2 = jnp.where(pv2, cam_p[:, None, :] * 6, DUMP)
+    S = _scatter_block_add(
+        S, r2.reshape(-1), c2.reshape(-1), Spairs.reshape(-1, 6, 6)
+    )
+
+    # --- plane observation edges (planes live in the reduced system) ------
+    ep, Jpc, Jppl, chi2p = _plane_obs_residuals(poses, planes, prob)
+    wq = (
+        prob.pobs_w
+        * huber_weight(chi2p, CHI2_3D)
+        * pobs_w_extra
+        * prob.pobs_valid.astype(e.dtype)
+    )
+    JpcW = Jpc * wq[:, None, None]
+    cam_q = jnp.where(prob.pobs_valid, prob.pobs_cam * 6, DUMP)
+    pl_q = jnp.where(prob.pobs_valid, 6 * M + prob.pobs_plane * 3, DUMP)
+    S = _scatter_block_add(S, cam_q, cam_q, jnp.einsum("qai,qaj->qij", JpcW, Jpc))
+    S = _scatter_block_add(S, pl_q, pl_q, jnp.einsum("qai,qaj->qij", Jppl * wq[:, None, None], Jppl))
+    cross = jnp.einsum("qai,qaj->qij", JpcW, Jppl)
+    S = _scatter_block_add(S, cam_q, pl_q, cross)
+    S = _scatter_block_add(S, pl_q, cam_q, jnp.swapaxes(cross, -1, -2))
+    b = _scatter_vec_add(b, cam_q, -jnp.einsum("qai,qa->qi", JpcW, ep))
+    b = _scatter_vec_add(b, pl_q, -jnp.einsum("qai,qa->qi", Jppl * wq[:, None, None], ep))
+
+    # --- plane-plane structural edges -------------------------------------
+    epp, Ja, Jb = _plane_plane_residuals(planes, prob)
+    we = prob.pp_w * prob.pp_valid.astype(e.dtype)
+    a_off = jnp.where(prob.pp_valid, 6 * M + prob.pp_a * 3, DUMP)
+    b_off = jnp.where(prob.pp_valid, 6 * M + prob.pp_b * 3, DUMP)
+    JaW = Ja * we[:, None, None]
+    JbW = Jb * we[:, None, None]
+    S = _scatter_block_add(S, a_off, a_off, jnp.einsum("eai,eaj->eij", JaW, Ja))
+    S = _scatter_block_add(S, b_off, b_off, jnp.einsum("eai,eaj->eij", JbW, Jb))
+    cr = jnp.einsum("eai,eaj->eij", JaW, Jb)
+    S = _scatter_block_add(S, a_off, b_off, cr)
+    S = _scatter_block_add(S, b_off, a_off, jnp.swapaxes(cr, -1, -2))
+    b = _scatter_vec_add(b, a_off, -jnp.einsum("eai,ea->ei", JaW, epp))
+    b = _scatter_vec_add(b, b_off, -jnp.einsum("eai,ea->ei", JbW, epp))
+
+    # --- trim dump, damp, pin fixed/invalid entries -----------------------
+    S = S[:dim, :dim]
+    b = b[:dim]
+
+    pose_free = (prob.pose_valid & ~prob.pose_fixed)
+    free_mask6 = jnp.repeat(pose_free, 6)
+    plane_free = prob.plane_valid
+    free_mask3 = jnp.repeat(plane_free, 3)
+    free = jnp.concatenate([free_mask6, free_mask3]).astype(e.dtype)
+
+    S = S * free[:, None] * free[None, :]
+    b = b * free
+    diag = jnp.diag(S)
+    S = S + jnp.diag(lam * diag + 1e-6) + jnp.diag(1.0 - free)
+
+    dx = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S), b)
+    dx_cam = dx[: 6 * M].reshape(M, 6)
+    dx_pl = dx[6 * M :].reshape(L, 3)
+
+    # back-substitute landmarks: dp = Hpp^{-1}(bp - W^T dxc)
+    dxc_p = dx_cam[cam_p]                                     # [P,OMAX,6]
+    Wt_dx = jnp.einsum("poij,poi->pj", W_p, dxc_p)            # [P,3]
+    dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - Wt_dx)
+    dp = dp * prob.point_valid[:, None]
+    return dx_cam, dp, dx_pl
+
+
+def _total_cost(poses, points, planes, prob, intr, obs_w_extra, pobs_w_extra):
+    _, _, _, chi2 = _point_residuals(poses, points, prob, intr)
+    delta2 = jnp.where(prob.obs_ur >= 0, CHI2_3D, CHI2_2D)
+    rho = jnp.where(
+        chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2
+    )
+    c1 = jnp.sum(rho * prob.obs_valid * obs_w_extra)
+    _, _, _, chi2p = _plane_obs_residuals(poses, planes, prob)
+    rp = jnp.where(
+        chi2p <= CHI2_3D, chi2p, 2.0 * jnp.sqrt(CHI2_3D * jnp.maximum(chi2p, 1e-12)) - CHI2_3D
+    )
+    c2 = jnp.sum(rp * prob.pobs_valid * pobs_w_extra)
+    epp, _, _ = _plane_plane_residuals(planes, prob)
+    c3 = jnp.sum(epp[:, 0] ** 2 * prob.pp_w * prob.pp_valid)
+    return c1 + c2 + c3
+
+
+@partial(jax.jit, static_argnames=("intr", "stage1_iters", "stage2_iters"))
+def bundle_adjust(
+    prob: BAProblem,
+    intr: Intrinsics,
+    stage1_iters: int = 5,
+    stage2_iters: int = 10,
+) -> BAResult:
+    """Two-stage LM bundle adjustment with a chi2 outlier gate in between
+    (the reference's 5+10 LocalBundleAdjustment schedule)."""
+
+    def lm_stage(state, n_iters, obs_w_extra, pobs_w_extra):
+        def body(_, carry):
+            poses, points, planes, lam = carry
+            dxc, dp, dpl = _solve_ba_iteration(
+                poses, points, planes, prob, intr, lam, obs_w_extra, pobs_w_extra
+            )
+            poses_new = jax.vmap(se3_retract)(poses, dxc)
+            points_new = points + dp
+            planes_new = jax.vmap(plane_retract)(planes, dpl)
+            c_old = _total_cost(poses, points, planes, prob, intr, obs_w_extra, pobs_w_extra)
+            c_new = _total_cost(poses_new, points_new, planes_new, prob, intr, obs_w_extra, pobs_w_extra)
+            better = c_new < c_old
+            poses = jnp.where(better, poses_new, poses)
+            points = jnp.where(better, points_new, points)
+            planes = jnp.where(better, planes_new, planes)
+            lam = jnp.where(better, lam * 0.5, lam * 4.0)
+            return poses, points, planes, lam
+
+        return jax.lax.fori_loop(0, n_iters, body, state)
+
+    ones_r = jnp.ones_like(prob.obs_inv_sigma2)
+    ones_q = jnp.ones_like(prob.pobs_w)
+    poses, points, planes, _ = lm_stage(
+        (prob.poses, prob.points, prob.planes, jnp.float32(1e-4)),
+        stage1_iters, ones_r, ones_q,
+    )
+
+    # chi2 gate
+    _, _, _, chi2 = _point_residuals(poses, points, prob, intr)
+    delta2 = jnp.where(prob.obs_ur >= 0, CHI2_3D, CHI2_2D)
+    obs_inl = (chi2 <= delta2) & prob.obs_valid
+    _, _, _, chi2p = _plane_obs_residuals(poses, planes, prob)
+    pobs_inl = (chi2p <= CHI2_3D) & prob.pobs_valid
+
+    poses, points, planes, _ = lm_stage(
+        (poses, points, planes, jnp.float32(1e-4)),
+        stage2_iters, obs_inl.astype(jnp.float32), pobs_inl.astype(jnp.float32),
+    )
+
+    # final classification
+    _, _, _, chi2 = _point_residuals(poses, points, prob, intr)
+    obs_inl = (chi2 <= delta2) & prob.obs_valid
+    _, _, _, chi2p = _plane_obs_residuals(poses, planes, prob)
+    pobs_inl = (chi2p <= CHI2_3D) & prob.pobs_valid
+    cost = _total_cost(poses, points, planes, prob, intr,
+                       obs_inl.astype(jnp.float32), pobs_inl.astype(jnp.float32))
+    return BAResult(
+        poses=poses, points=points, planes=planes,
+        obs_inlier=obs_inl, pobs_inlier=pobs_inl, cost=cost,
+    )
+
+
+def build_point_obs_table(obs_pt: jnp.ndarray, n_points: int, omax: int) -> jnp.ndarray:
+    """Host-side helper: per-point observation index table [P, OMAX].
+
+    obs_pt: [R] numpy/int array of point indices (-1 for padding).
+    Observations beyond OMAX per point are dropped (reported by caller).
+    """
+    import numpy as np
+
+    table = np.full((n_points, omax), -1, dtype=np.int32)
+    counts = np.zeros(n_points, dtype=np.int32)
+    for r, p in enumerate(np.asarray(obs_pt)):
+        if p < 0:
+            continue
+        if counts[p] < omax:
+            table[p, counts[p]] = r
+            counts[p] += 1
+    return jnp.asarray(table)

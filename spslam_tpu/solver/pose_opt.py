@@ -1,0 +1,157 @@
+"""Motion-only pose optimization (frame-to-map PnP refinement).
+
+TPU-native replacement for the reference's Optimizer::PoseOptimization
+(Optimizer.cc — SURVEY.md §3.1 hot loop 3): Levenberg-Marquardt on a single
+SE(3) camera vertex with monocular (2-dof) + depth (the RGB-D virtual-right
+coordinate folded in as a 3rd residual row) reprojection edges, Huber
+kernel, and the reference's 4-round chi2 outlier gating schedule
+(4 x 10 iterations, re-classifying inliers between rounds).
+
+Everything is fixed-shape: N observations with validity masks; rounds and
+iterations are static; the per-iteration linear solve is a 6x6 Cholesky.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import Intrinsics
+from ..geometry.lie import quat_rotate, se3_q, se3_retract, se3_t
+from .robust import CHI2_2D, CHI2_3D, huber_weight
+
+
+class PoseOptResult(NamedTuple):
+    T_cw: jnp.ndarray      # [7] optimized pose
+    inliers: jnp.ndarray   # [N] bool final inlier classification
+    n_inliers: jnp.ndarray # [] int32
+    chi2: jnp.ndarray      # [] float32 final robust cost
+
+
+def _residuals_and_jac(T_cw, pts_w, uv_obs, ur_obs, intr: Intrinsics):
+    """Per-observation residual [N,3] = (u, v, uR) errors and Jacobian
+    [N,3,6] wrt a left-multiplicative se3 perturbation of T_cw.
+
+    Rows 0-1 are the pinhole reprojection error; row 2 is the virtual right
+    u error (uR = u - bf/z), active only where ur_obs >= 0 — this is the
+    reference's stereo SE3 edge for RGB-D.
+    """
+    xc = quat_rotate(se3_q(T_cw), pts_w) + se3_t(T_cw)  # [N,3]
+    x, y, z = xc[..., 0], xc[..., 1], xc[..., 2]
+    z = jnp.maximum(z, 1e-6)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    u = intr.fx * x * iz + intr.cx
+    v = intr.fy * y * iz + intr.cy
+    ur = u - intr.bf * iz
+
+    e_u = uv_obs[..., 0] - u
+    e_v = uv_obs[..., 1] - v
+    e_r = jnp.where(ur_obs >= 0, ur_obs - ur, 0.0)
+    e = jnp.stack([e_u, e_v, e_r], axis=-1)  # [N,3]
+
+    # d(proj)/d(xc)
+    du = jnp.stack([intr.fx * iz, jnp.zeros_like(z), -intr.fx * x * iz2], axis=-1)
+    dv = jnp.stack([jnp.zeros_like(z), intr.fy * iz, -intr.fy * y * iz2], axis=-1)
+    dr = du + jnp.stack(
+        [jnp.zeros_like(z), jnp.zeros_like(z), intr.bf * iz2], axis=-1
+    )
+    dproj = jnp.stack([du, dv, dr], axis=-2)  # [N,3,3]
+
+    # d(xc)/d(xi): [I | -[xc]x] for xi = [rho, phi]
+    zeros = jnp.zeros_like(z)
+    ones = jnp.ones_like(z)
+    dxc = jnp.stack(
+        [
+            jnp.stack([ones, zeros, zeros, zeros, z, -y], axis=-1),
+            jnp.stack([zeros, ones, zeros, -z, zeros, x], axis=-1),
+            jnp.stack([zeros, zeros, ones, y, -x, zeros], axis=-1),
+        ],
+        axis=-2,
+    )  # [N,3,6]
+
+    J = -(dproj @ dxc)  # [N,3,6]: de/dxi = -dproj/dxc dxc/dxi
+    depth_active = (ur_obs >= 0).astype(e.dtype)
+    row_mask = jnp.stack([jnp.ones_like(depth_active), jnp.ones_like(depth_active), depth_active], -1)
+    return e * row_mask, J * row_mask[..., None], z
+
+
+@partial(jax.jit, static_argnames=("intr", "n_rounds", "n_iters"))
+def pose_optimization(
+    T_cw_init: jnp.ndarray,
+    pts_w: jnp.ndarray,
+    uv_obs: jnp.ndarray,
+    ur_obs: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    valid: jnp.ndarray,
+    intr: Intrinsics,
+    n_rounds: int = 4,
+    n_iters: int = 10,
+) -> PoseOptResult:
+    """Optimize one camera pose against fixed 3D points.
+
+    Args:
+      T_cw_init: [7] initial world->camera pose.
+      pts_w: [N, 3] world points (fixed).
+      uv_obs: [N, 2] observed undistorted pixel coords.
+      ur_obs: [N] observed virtual-right u (< 0 where monocular-only).
+      inv_sigma2: [N] per-observation information (by octave).
+      valid: [N] bool observation exists.
+    """
+    delta2_mono = CHI2_2D
+    delta2_stereo = CHI2_3D
+
+    def obs_chi2(T, inl):
+        e, _, _ = _residuals_and_jac(T, pts_w, uv_obs, ur_obs, intr)
+        c = jnp.sum(e * e, axis=-1) * inv_sigma2
+        return c
+
+    def lm_round(T, inliers):
+        def body(_, carry):
+            T, lam = carry
+            e, J, _ = _residuals_and_jac(T, pts_w, uv_obs, ur_obs, intr)
+            is_stereo = ur_obs >= 0
+            chi2 = jnp.sum(e * e, axis=-1) * inv_sigma2
+            delta2 = jnp.where(is_stereo, delta2_stereo, delta2_mono)
+            w_rob = huber_weight(chi2, delta2)
+            w = inv_sigma2 * w_rob * inliers.astype(e.dtype) * valid.astype(e.dtype)
+            Jw = J * w[:, None, None]
+            H = jnp.einsum("nri,nrj->ij", Jw, J)
+            b = -jnp.einsum("nri,nr->i", Jw, e)  # GN: dx = -(J'WJ)^{-1} J'We
+            H = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
+            dx = jnp.linalg.solve(H, b)
+            T_new = se3_retract(T, dx)
+            # Accept if robust cost decreased.
+            def cost(Tc):
+                ec, _, _ = _residuals_and_jac(Tc, pts_w, uv_obs, ur_obs, intr)
+                c = jnp.sum(ec * ec, axis=-1) * inv_sigma2
+                rho = jnp.where(c <= delta2, c, 2.0 * jnp.sqrt(delta2 * jnp.maximum(c, 1e-12)) - delta2)
+                return jnp.sum(rho * inliers * valid)
+
+            better = cost(T_new) < cost(T)
+            T = jax.tree.map(lambda a, b_: jnp.where(better, a, b_), T_new, T)
+            lam = jnp.where(better, lam * 0.5, lam * 4.0)
+            return T, lam
+
+        T, _ = jax.lax.fori_loop(0, n_iters, body, (T, jnp.float32(1e-3)))
+        return T
+
+    T = T_cw_init
+    inliers = valid.astype(jnp.float32)
+    for _ in range(n_rounds):
+        T = lm_round(T, inliers)
+        chi2 = obs_chi2(T, inliers)
+        thresh = jnp.where(ur_obs >= 0, delta2_stereo, delta2_mono)
+        inliers = (chi2 <= thresh).astype(jnp.float32) * valid.astype(jnp.float32)
+
+    final_inl = inliers > 0
+    chi2 = obs_chi2(T, inliers)
+    return PoseOptResult(
+        T_cw=T,
+        inliers=final_inl,
+        n_inliers=jnp.sum(final_inl.astype(jnp.int32)),
+        chi2=jnp.sum(jnp.where(final_inl, chi2, 0.0)),
+    )
