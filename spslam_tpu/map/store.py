@@ -1,0 +1,317 @@
+"""Host-side map store: keyframes, map points, map planes, observations,
+covisibility — the bookkeeping half of the reference's Map/KeyFrame/
+MapPoint/MapPlane classes (src/Map.cc, KeyFrame.cc, MapPoint.cc,
+MapPlane.cc — SURVEY.md §2 #5-8).
+
+Design stance (SURVEY.md §7): the reference's pointer graph + per-object
+mutexes collapse into flat numpy SoA arrays owned by a single writer (the
+pipeline thread).  Device work (matching, BA) consumes padded snapshots of
+these arrays; results are merged back by index.  No locks are needed
+because ownership is single-threaded by construction; the async mapping
+executor operates on snapshots and merges under `version` checks
+(tracking/pipeline.py).
+
+All capacities are fixed at construction; indices are stable for the whole
+run (erased entries are masked invalid, ids never reused — simpler merge
+semantics for async BA at the cost of some memory).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class MapConfig:
+    max_keyframes: int = 512
+    max_points: int = 65536
+    max_planes: int = 64
+    n_kp: int = 1024          # keypoint budget per keyframe
+    max_obs_per_point: int = 16
+
+
+class MapStore:
+    def __init__(self, cfg: MapConfig):
+        self.cfg = cfg
+        K, P, L, N, O = (
+            cfg.max_keyframes,
+            cfg.max_points,
+            cfg.max_planes,
+            cfg.n_kp,
+            cfg.max_obs_per_point,
+        )
+        # --- keyframes ---
+        self.kf_pose = np.zeros((K, 7), np.float32)
+        self.kf_pose[:, 0] = 1.0
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_ts = np.zeros(K, np.float64)
+        self.kf_frame_id = np.full(K, -1, np.int64)
+        self.kf_parent = np.full(K, -1, np.int32)  # spanning tree
+        # per-keyframe keypoint data (copied from FrameData at insertion)
+        self.kf_uv = np.zeros((K, N, 2), np.float32)
+        self.kf_octave = np.zeros((K, N), np.int32)
+        self.kf_angle = np.zeros((K, N), np.float32)
+        self.kf_desc = np.zeros((K, N, 8), np.uint32)
+        self.kf_depth = np.zeros((K, N), np.float32)
+        self.kf_ur = np.full((K, N), -1.0, np.float32)
+        self.kf_kp_valid = np.zeros((K, N), bool)
+        self.kf_obs = np.full((K, N), -1, np.int32)  # map point id per kp slot
+        self.n_kf = 0
+        # --- map points ---
+        self.pt_pos = np.zeros((P, 3), np.float32)
+        self.pt_valid = np.zeros(P, bool)
+        self.pt_desc = np.zeros((P, 8), np.uint32)
+        self.pt_normal = np.zeros((P, 3), np.float32)
+        self.pt_min_dist = np.zeros(P, np.float32)
+        self.pt_max_dist = np.zeros(P, np.float32)
+        self.pt_ref_kf = np.full(P, -1, np.int32)
+        self.pt_first_kf = np.full(P, -1, np.int32)
+        self.pt_obs_kf = np.full((P, O), -1, np.int32)
+        self.pt_obs_slot = np.full((P, O), -1, np.int32)
+        self.pt_n_obs = np.zeros(P, np.int32)
+        self.pt_visible = np.ones(P, np.int32)   # times predicted visible
+        self.pt_found = np.ones(P, np.int32)     # times actually matched
+        self.n_pt = 0
+        # --- map planes ---
+        self.pl_coef = np.zeros((L, 4), np.float32)
+        self.pl_valid = np.zeros(L, bool)
+        self.pl_obs_kf = np.full((L, O), -1, np.int32)
+        self.pl_obs_count = np.zeros(L, np.int32)
+        self.pl_ref_kf = np.full(L, -1, np.int32)
+        self.pl_n_pts = np.zeros(L, np.int32)    # supporting inlier count
+        self.n_pl = 0
+        # monotonically increasing map version (bumped by any writer)
+        self.version = 0
+
+    # ------------------------------------------------------------------
+    # keyframes
+    # ------------------------------------------------------------------
+
+    def add_keyframe(self, T_cw, ts, frame_np: dict, frame_id: int) -> int:
+        """frame_np: dict of numpy arrays from FrameData (uv, octave, angle,
+        desc, depth, u_right, valid)."""
+        k = self.n_kf
+        assert k < self.cfg.max_keyframes, "keyframe capacity exceeded"
+        self.kf_pose[k] = T_cw
+        self.kf_ts[k] = ts
+        self.kf_frame_id[k] = frame_id
+        self.kf_uv[k] = frame_np["uv"]
+        self.kf_octave[k] = frame_np["octave"]
+        self.kf_angle[k] = frame_np["angle"]
+        self.kf_desc[k] = frame_np["desc"]
+        self.kf_depth[k] = frame_np["depth"]
+        self.kf_ur[k] = frame_np["u_right"]
+        self.kf_kp_valid[k] = frame_np["valid"]
+        self.kf_obs[k] = -1
+        self.kf_valid[k] = True
+        self.n_kf += 1
+        self.version += 1
+        return k
+
+    def set_kf_pose(self, k: int, T_cw):
+        self.kf_pose[k] = T_cw
+        self.version += 1
+
+    def erase_keyframe(self, k: int):
+        """KF culling: detach observations and invalidate."""
+        slots = np.nonzero(self.kf_obs[k] >= 0)[0]
+        for s in slots:
+            self.remove_observation(int(self.kf_obs[k, s]), k)
+        self.kf_valid[k] = False
+        # re-parent children in the spanning tree to this KF's parent
+        children = np.nonzero((self.kf_parent == k) & self.kf_valid)[0]
+        self.kf_parent[children] = self.kf_parent[k]
+        self.version += 1
+
+    # ------------------------------------------------------------------
+    # points
+    # ------------------------------------------------------------------
+
+    def add_point(self, pos, desc, normal, ref_kf: int, dist: float) -> int:
+        p = self.n_pt
+        assert p < self.cfg.max_points, "map point capacity exceeded"
+        self.pt_pos[p] = pos
+        self.pt_desc[p] = desc
+        self.pt_normal[p] = normal
+        self.pt_ref_kf[p] = ref_kf
+        self.pt_first_kf[p] = ref_kf
+        # scale-invariance range like the reference (MapPoint ctor):
+        self.pt_min_dist[p] = dist / 1.2 ** 8
+        self.pt_max_dist[p] = dist * 1.2 ** 2
+        self.pt_valid[p] = True
+        self.pt_n_obs[p] = 0
+        self.pt_visible[p] = 1
+        self.pt_found[p] = 1
+        self.n_pt += 1
+        self.version += 1
+        return p
+
+    def add_observation(self, p: int, kf: int, slot: int):
+        if self.kf_obs[kf, slot] >= 0:
+            return  # slot taken
+        c = self.pt_n_obs[p]
+        if c >= self.cfg.max_obs_per_point:
+            return
+        self.pt_obs_kf[p, c] = kf
+        self.pt_obs_slot[p, c] = slot
+        self.pt_n_obs[p] = c + 1
+        self.kf_obs[kf, slot] = p
+        self.version += 1
+
+    def remove_observation(self, p: int, kf: int):
+        mask = self.pt_obs_kf[p] == kf
+        idx = np.nonzero(mask)[0]
+        for i in idx:
+            slot = self.pt_obs_slot[p, i]
+            if slot >= 0 and self.kf_obs[kf, slot] == p:
+                self.kf_obs[kf, slot] = -1
+        keep = ~mask
+        n = keep.sum() - (self.pt_obs_kf[p] < 0).sum()
+        kfs = self.pt_obs_kf[p][keep & (self.pt_obs_kf[p] >= 0)]
+        slots = self.pt_obs_slot[p][keep & (self.pt_obs_kf[p] >= 0)]
+        self.pt_obs_kf[p] = -1
+        self.pt_obs_slot[p] = -1
+        self.pt_obs_kf[p, : len(kfs)] = kfs
+        self.pt_obs_slot[p, : len(slots)] = slots
+        self.pt_n_obs[p] = len(kfs)
+        if self.pt_n_obs[p] <= 1 and self.pt_valid[p]:
+            self.erase_point(p)
+        self.version += 1
+
+    def erase_point(self, p: int):
+        for i in range(self.pt_n_obs[p]):
+            kf, slot = self.pt_obs_kf[p, i], self.pt_obs_slot[p, i]
+            if kf >= 0 and self.kf_obs[kf, slot] == p:
+                self.kf_obs[kf, slot] = -1
+        self.pt_obs_kf[p] = -1
+        self.pt_obs_slot[p] = -1
+        self.pt_n_obs[p] = 0
+        self.pt_valid[p] = False
+        self.version += 1
+
+    def replace_point(self, old: int, new: int):
+        """Fuse: redirect all observations of `old` to `new` (the reference's
+        MapPoint::Replace)."""
+        if old == new:
+            return
+        for i in range(self.pt_n_obs[old]):
+            kf, slot = self.pt_obs_kf[old, i], self.pt_obs_slot[old, i]
+            if kf < 0:
+                continue
+            if (self.pt_obs_kf[new][: self.pt_n_obs[new]] == kf).any():
+                # new already observed in this KF: just clear the slot
+                if self.kf_obs[kf, slot] == old:
+                    self.kf_obs[kf, slot] = -1
+            else:
+                if self.kf_obs[kf, slot] == old:
+                    self.kf_obs[kf, slot] = new
+                    c = self.pt_n_obs[new]
+                    if c < self.cfg.max_obs_per_point:
+                        self.pt_obs_kf[new, c] = kf
+                        self.pt_obs_slot[new, c] = slot
+                        self.pt_n_obs[new] = c + 1
+        self.pt_found[new] += self.pt_found[old]
+        self.pt_visible[new] += self.pt_visible[old]
+        self.pt_obs_kf[old] = -1
+        self.pt_obs_slot[old] = -1
+        self.pt_n_obs[old] = 0
+        self.pt_valid[old] = False
+        self.version += 1
+
+    # ------------------------------------------------------------------
+    # planes
+    # ------------------------------------------------------------------
+
+    def add_plane(self, coef, ref_kf: int, n_pts: int) -> int:
+        l = self.n_pl
+        assert l < self.cfg.max_planes, "plane capacity exceeded"
+        self.pl_coef[l] = coef
+        self.pl_ref_kf[l] = ref_kf
+        self.pl_n_pts[l] = n_pts
+        self.pl_valid[l] = True
+        self.n_pl += 1
+        self.version += 1
+        return l
+
+    def add_plane_observation(self, l: int, kf: int):
+        c = self.pl_obs_count[l]
+        if c < self.pl_obs_kf.shape[1] and not (self.pl_obs_kf[l, :c] == kf).any():
+            self.pl_obs_kf[l, c] = kf
+            self.pl_obs_count[l] = c + 1
+            self.version += 1
+
+    # ------------------------------------------------------------------
+    # covisibility / local map queries
+    # ------------------------------------------------------------------
+
+    def covisibility(self, k: int, min_weight: int = 15) -> np.ndarray:
+        """KF ids sharing >= min_weight map points with KF k, ordered by
+        weight descending (the reference's covisibility graph edges)."""
+        pts = self.kf_obs[k]
+        pts = pts[pts >= 0]
+        if len(pts) == 0:
+            return np.zeros(0, np.int32)
+        obs_kfs = self.pt_obs_kf[pts].ravel()
+        obs_kfs = obs_kfs[(obs_kfs >= 0) & (obs_kfs != k)]
+        if len(obs_kfs) == 0:
+            return np.zeros(0, np.int32)
+        counts = np.bincount(obs_kfs, minlength=self.cfg.max_keyframes)
+        ids = np.nonzero((counts >= min_weight) & self.kf_valid)[0]
+        order = np.argsort(-counts[ids], kind="stable")
+        return ids[order].astype(np.int32)
+
+    def local_keyframes(self, k: int, min_weight: int = 15, max_n: int = 32) -> np.ndarray:
+        cov = self.covisibility(k, min_weight)
+        ids = np.concatenate([[k], cov[: max_n - 1]]).astype(np.int32)
+        return ids
+
+    def local_points(self, kf_ids: np.ndarray) -> np.ndarray:
+        """Unique valid point ids observed by the given keyframes."""
+        pts = self.kf_obs[kf_ids].ravel()
+        pts = np.unique(pts[pts >= 0])
+        return pts[self.pt_valid[pts]].astype(np.int32)
+
+    def update_point_stats(self, pts: np.ndarray):
+        """Refresh distinctive descriptor + normal for the given points from
+        their observations (MapPoint::ComputeDistinctiveDescriptors +
+        UpdateNormalAndDepth).  Vectorized per point over its <=O obs."""
+        for p in np.asarray(pts):
+            n = self.pt_n_obs[p]
+            if n == 0 or not self.pt_valid[p]:
+                continue
+            kfs = self.pt_obs_kf[p, :n]
+            slots = self.pt_obs_slot[p, :n]
+            descs = self.kf_desc[kfs, slots]  # [n, 8] uint32
+            if n >= 3:
+                bits = np.unpackbits(descs.view(np.uint8), axis=-1)
+                dist = (bits[:, None, :] != bits[None, :, :]).sum(-1)
+                medians = np.median(dist, axis=1)
+                best = int(np.argmin(medians))
+            else:
+                best = n - 1
+            self.pt_desc[p] = descs[best]
+            # normal: mean unit vector from observing cameras to point
+            centers = self._camera_centers(kfs)
+            vecs = self.pt_pos[p][None, :] - centers
+            norms = np.linalg.norm(vecs, axis=-1, keepdims=True)
+            vecs = vecs / np.maximum(norms, 1e-9)
+            nrm = vecs.mean(0)
+            self.pt_normal[p] = nrm / max(np.linalg.norm(nrm), 1e-9)
+            # scale range from reference KF
+            ref = kfs[-1]
+            dist_ref = np.linalg.norm(self.pt_pos[p] - self._camera_centers(np.array([ref]))[0])
+            oct_ref = self.kf_octave[ref, slots[-1]]
+            level_factor = 1.2 ** oct_ref
+            self.pt_max_dist[p] = dist_ref * level_factor
+            self.pt_min_dist[p] = self.pt_max_dist[p] / 1.2 ** 8
+
+    def _camera_centers(self, kf_ids: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from ..geometry.lie import quat_to_mat
+
+        T = self.kf_pose[kf_ids]
+        R = np.asarray(quat_to_mat(jnp.array(T[:, :4])))
+        return -np.einsum("fij,fi->fj", R, T[:, 4:7])

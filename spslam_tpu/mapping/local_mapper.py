@@ -1,0 +1,219 @@
+"""Local mapping: map-point culling, local BA, keyframe culling.
+
+TPU-native equivalent of the reference's LocalMapping thread
+(src/LocalMapping.cc — SURVEY.md §2 #10, §3.2).  New-point creation happens
+at keyframe insertion in the tracker (RGB-D depth-backed, like the
+reference's CreateNewKeyFrame close-point path); epipolar triangulation is
+unnecessary for RGB-D and omitted on purpose.
+
+The local BA window is assembled host-side from the MapStore into a
+fixed-shape BAProblem (padded to the static capacities below so the jitted
+solver compiles once) and solved on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.camera import Intrinsics
+from ..map.store import MapStore
+from ..solver.ba import BAProblem, bundle_adjust
+from ..solver.robust import octave_inv_sigma2
+
+
+@dataclass(frozen=True)
+class MapperConfig:
+    ba_max_poses: int = 32        # free + fixed keyframes in the window
+    ba_max_free: int = 20
+    ba_max_points: int = 8192
+    ba_max_obs: int = 24576
+    ba_obs_per_point: int = 8
+    ba_max_planes: int = 16
+    ba_max_plane_obs: int = 64
+    ba_max_pp_edges: int = 32
+    cull_found_ratio: float = 0.25
+    cull_min_obs: int = 3
+    kf_cull_redundancy: float = 0.9
+
+
+class LocalMapper:
+    def __init__(self, cfg: MapperConfig, intr: Intrinsics, store: MapStore):
+        self.cfg = cfg
+        self.intr = intr
+        self.store = store
+        self._recent_points: list[tuple[int, int]] = []  # (point_id, birth_kf)
+
+    # -----------------------------------------------------------------
+    def on_new_points(self, pids: np.ndarray, kf: int):
+        for p in np.asarray(pids):
+            self._recent_points.append((int(p), kf))
+
+    def process_keyframe(self, kf: int, run_ba: bool = True):
+        self.cull_points(kf)
+        if run_ba and self.store.n_kf >= 3:
+            self.local_ba(kf)
+        self.cull_keyframes(kf)
+
+    # -----------------------------------------------------------------
+    def cull_points(self, kf: int):
+        """Reference MapPointCulling: drop points with poor found/visible
+        ratio or too few observations shortly after creation."""
+        st = self.store
+        keep = []
+        for p, birth in self._recent_points:
+            if not st.pt_valid[p]:
+                continue
+            age = kf - birth
+            ratio = st.pt_found[p] / max(st.pt_visible[p], 1)
+            if ratio < self.cfg.cull_found_ratio:
+                st.erase_point(p)
+            elif age >= 2 and st.pt_n_obs[p] < self.cfg.cull_min_obs:
+                st.erase_point(p)
+            elif age >= 3:
+                continue  # graduated
+            else:
+                keep.append((p, birth))
+        self._recent_points = keep
+
+    # -----------------------------------------------------------------
+    def _assemble_window(self, kf: int):
+        """Local window: covisible KFs (free) + boundary observers (fixed)."""
+        st = self.store
+        cfg = self.cfg
+        cov = st.covisibility(kf, min_weight=5)
+        free = np.concatenate([[kf], cov[: cfg.ba_max_free - 1]]).astype(np.int32)
+        pts = st.local_points(free)
+        if len(pts) > cfg.ba_max_points:
+            order = np.argsort(-st.pt_n_obs[pts], kind="stable")
+            pts = pts[order[: cfg.ba_max_points]]
+        # boundary: KFs observing window points but not free
+        obs_kfs = st.pt_obs_kf[pts]
+        all_kfs = np.unique(obs_kfs[obs_kfs >= 0])
+        fixed = np.setdiff1d(all_kfs, free)
+        fixed = fixed[st.kf_valid[fixed]]
+        n_fixed_cap = cfg.ba_max_poses - len(free)
+        if len(fixed) > n_fixed_cap:
+            fixed = fixed[:n_fixed_cap]
+        kf_ids = np.concatenate([free, fixed]).astype(np.int32)
+        fixed_mask = np.zeros(len(kf_ids), bool)
+        fixed_mask[len(free):] = True
+        # gauge: if nothing fixed, pin the oldest
+        if not fixed_mask.any():
+            fixed_mask[np.argmin(kf_ids)] = True
+        return kf_ids, fixed_mask, pts
+
+    def local_ba(self, kf: int):
+        st = self.store
+        cfg = self.cfg
+        kf_ids, fixed_mask, pts = self._assemble_window(kf)
+        if len(pts) < 10 or len(kf_ids) < 2:
+            return
+        kf_index = {int(k): i for i, k in enumerate(kf_ids)}
+        M, P = cfg.ba_max_poses, cfg.ba_max_points
+        R, O = cfg.ba_max_obs, cfg.ba_obs_per_point
+
+        poses = np.zeros((M, 7), np.float32)
+        poses[:, 0] = 1
+        poses[: len(kf_ids)] = st.kf_pose[kf_ids]
+        pose_fixed = np.zeros(M, bool)
+        pose_fixed[: len(kf_ids)] = fixed_mask
+        pose_valid = np.zeros(M, bool)
+        pose_valid[: len(kf_ids)] = True
+
+        points = np.zeros((P, 3), np.float32)
+        points[: len(pts)] = st.pt_pos[pts]
+        point_valid = np.zeros(P, bool)
+        point_valid[: len(pts)] = True
+
+        obs_cam = np.zeros(R, np.int32)
+        obs_pt = np.zeros(R, np.int32)
+        obs_uv = np.zeros((R, 2), np.float32)
+        obs_ur = np.full(R, -1.0, np.float32)
+        obs_oct = np.zeros(R, np.int32)
+        obs_valid = np.zeros(R, bool)
+        pt_obs = np.full((P, O), -1, np.int32)
+        obs_src = []  # (point_id, kf_id, slot) for writeback
+        r = 0
+        for pi, p in enumerate(pts):
+            n = st.pt_n_obs[p]
+            cnt = 0
+            for j in range(n):
+                if r >= R or cnt >= O:
+                    break
+                k = st.pt_obs_kf[p, j]
+                if k < 0 or int(k) not in kf_index:
+                    continue
+                slot = st.pt_obs_slot[p, j]
+                obs_cam[r] = kf_index[int(k)]
+                obs_pt[r] = pi
+                obs_uv[r] = st.kf_uv[k, slot]
+                obs_ur[r] = st.kf_ur[k, slot]
+                obs_oct[r] = st.kf_octave[k, slot]
+                obs_valid[r] = True
+                pt_obs[pi, cnt] = r
+                obs_src.append((int(p), int(k), int(slot)))
+                cnt += 1
+                r += 1
+
+        L, Q, E = cfg.ba_max_planes, cfg.ba_max_plane_obs, cfg.ba_max_pp_edges
+        planes = np.zeros((L, 4), np.float32)
+        planes[:, 2] = 1.0
+        prob = BAProblem(
+            poses=jnp.asarray(poses),
+            pose_fixed=jnp.asarray(pose_fixed),
+            pose_valid=jnp.asarray(pose_valid),
+            points=jnp.asarray(points),
+            point_valid=jnp.asarray(point_valid),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_pt=jnp.asarray(obs_pt),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_ur=jnp.asarray(obs_ur),
+            obs_inv_sigma2=octave_inv_sigma2(jnp.asarray(obs_oct)),
+            obs_valid=jnp.asarray(obs_valid),
+            pt_obs=jnp.asarray(pt_obs),
+            planes=jnp.asarray(planes),
+            plane_valid=jnp.zeros(L, bool),
+            pobs_cam=jnp.zeros(Q, jnp.int32),
+            pobs_plane=jnp.zeros(Q, jnp.int32),
+            pobs_pi=jnp.asarray(np.tile([0, 0, 1, 0], (Q, 1)).astype(np.float32)),
+            pobs_w=jnp.zeros(Q),
+            pobs_valid=jnp.zeros(Q, bool),
+            pp_a=jnp.zeros(E, jnp.int32),
+            pp_b=jnp.zeros(E, jnp.int32),
+            pp_type=jnp.zeros(E, jnp.int32),
+            pp_w=jnp.zeros(E),
+            pp_valid=jnp.zeros(E, bool),
+        )
+        res = bundle_adjust(prob, self.intr)
+        # --- write back ---
+        new_poses = np.asarray(res.poses)
+        for i, k in enumerate(kf_ids):
+            if not fixed_mask[i]:
+                st.set_kf_pose(int(k), new_poses[i])
+        new_points = np.asarray(res.points)
+        st.pt_pos[pts] = new_points[: len(pts)]
+        # remove outlier observations
+        inl = np.asarray(res.obs_inlier)
+        for ri, (p, k, slot) in enumerate(obs_src):
+            if not inl[ri] and st.pt_valid[p]:
+                st.remove_observation(p, k)
+        st.version += 1
+
+    # -----------------------------------------------------------------
+    def cull_keyframes(self, kf: int):
+        """Reference KeyFrameCulling: erase local KFs whose points are >=90%
+        covered by >=3 other keyframes."""
+        st = self.store
+        for k in st.covisibility(kf, min_weight=5):
+            if k == 0 or k == kf or not st.kf_valid[k]:
+                continue
+            pts = st.kf_obs[k]
+            pts = pts[pts >= 0]
+            if len(pts) < 20:
+                continue
+            redundant = np.sum(st.pt_n_obs[pts] >= 4)
+            if redundant > self.cfg.kf_cull_redundancy * len(pts):
+                st.erase_keyframe(int(k))

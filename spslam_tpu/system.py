@@ -1,0 +1,154 @@
+"""System facade: construct the pipeline, feed RGB-D frames, save results.
+
+TPU-native equivalent of the reference's System class (src/System.cc —
+SURVEY.md §2 #16): owns the MapStore, Tracker, LocalMapper (and LoopCloser
+once enabled), exposes TrackRGBD-style per-frame entry, trajectory export
+in TUM format, localization-only mode, and map checkpoint save/load.
+
+The reference's three std::threads become: a synchronous tracking step plus
+a mapping step executed inline (sync mode) or on a background executor
+operating on map snapshots (async mode, tracking/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .geometry.camera import Intrinsics
+from .map.store import MapConfig, MapStore
+from .mapping.local_mapper import LocalMapper, MapperConfig
+from .tracking.tracker import Tracker, TrackerConfig, TrackState
+
+
+@dataclass
+class SystemConfig:
+    intr: Intrinsics = field(default_factory=lambda: Intrinsics(
+        fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0, width=640, height=480
+    ))
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    mapper: MapperConfig = field(default_factory=MapperConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    use_planes: bool = False
+    local_ba: bool = True
+    localization_only: bool = False
+
+
+class System:
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.store = MapStore(cfg.map)
+        self.tracker = Tracker(cfg.tracker, cfg.intr, self.store)
+        self.mapper = LocalMapper(cfg.mapper, cfg.intr, self.store)
+        self.plane_mapper = None
+        if cfg.use_planes:
+            from .mapping.plane_mapper import PlaneMapper
+
+            self.plane_mapper = PlaneMapper(cfg.intr, self.store)
+        self.trajectory: list[tuple[float, np.ndarray]] = []
+        self._last_kf_count = 0
+
+    # -----------------------------------------------------------------
+    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, ts: float):
+        """Feed one frame. gray: [H,W] float32 0..255; depth: meters.
+
+        Returns (T_cw [7], state).
+        """
+        T, state = self.tracker.process(gray, depth, ts)
+        self.trajectory.append((ts, T))
+        new_kf = self.tracker.last_kf
+        if self.store.n_kf != self._last_kf_count and not self.cfg.localization_only:
+            self._last_kf_count = self.store.n_kf
+            if self.plane_mapper is not None and state == TrackState.OK:
+                self.plane_mapper.process_keyframe(new_kf, gray, depth)
+            self.mapper.process_keyframe(new_kf, run_ba=self.cfg.local_ba)
+        return T, state
+
+    # -----------------------------------------------------------------
+    def poses(self) -> np.ndarray:
+        return np.stack([T for _, T in self.trajectory])
+
+    def save_trajectory_tum(self, path: str):
+        """TUM format: ts tx ty tz qx qy qz qw, camera-to-world."""
+        import jax.numpy as jnp
+
+        from .geometry.lie import se3_inverse
+
+        with open(path, "w") as f:
+            for ts, T_cw in self.trajectory:
+                T_wc = np.asarray(se3_inverse(jnp.asarray(T_cw)))
+                qw, qx, qy, qz, tx, ty, tz = T_wc
+                f.write(f"{ts:.6f} {tx:.6f} {ty:.6f} {tz:.6f} {qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}\n")
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        import jax.numpy as jnp
+
+        from .geometry.lie import se3_inverse
+
+        st = self.store
+        with open(path, "w") as f:
+            for k in range(st.n_kf):
+                if not st.kf_valid[k]:
+                    continue
+                T_wc = np.asarray(se3_inverse(jnp.asarray(st.kf_pose[k])))
+                qw, qx, qy, qz, tx, ty, tz = T_wc
+                f.write(
+                    f"{st.kf_ts[k]:.6f} {tx:.6f} {ty:.6f} {tz:.6f} {qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}\n"
+                )
+
+    def save_metrics(self, path: str):
+        with open(path, "w") as f:
+            for m in self.tracker.metrics:
+                f.write(json.dumps(m) + "\n")
+
+    # -----------------------------------------------------------------
+    def save_map(self, path: str):
+        """Checkpoint the full map state (npz pytree)."""
+        st = self.store
+        np.savez_compressed(
+            path,
+            **{
+                k: getattr(st, k)
+                for k in (
+                    "kf_pose kf_valid kf_ts kf_frame_id kf_parent kf_uv kf_octave "
+                    "kf_angle kf_desc kf_depth kf_ur kf_kp_valid kf_obs "
+                    "pt_pos pt_valid pt_desc pt_normal pt_min_dist pt_max_dist "
+                    "pt_ref_kf pt_first_kf pt_obs_kf pt_obs_slot pt_n_obs "
+                    "pt_visible pt_found pl_coef pl_valid pl_obs_kf pl_obs_count "
+                    "pl_ref_kf pl_n_pts"
+                ).split()
+            },
+            n_kf=st.n_kf,
+            n_pt=st.n_pt,
+            n_pl=st.n_pl,
+        )
+
+    def load_map(self, path: str):
+        data = np.load(path)
+        st = self.store
+        for k in data.files:
+            if k in ("n_kf", "n_pt", "n_pl"):
+                setattr(st, k, int(data[k]))
+            else:
+                getattr(st, k)[...] = data[k]
+        st.version += 1
+        # resume tracking against the loaded map
+        valid_kfs = np.nonzero(st.kf_valid)[0]
+        if len(valid_kfs):
+            self.tracker.ref_kf = int(valid_kfs[-1])
+            self.tracker.last_kf = self.tracker.ref_kf
+            self.tracker.T_cw = st.kf_pose[self.tracker.ref_kf].copy()
+            self.tracker.state = TrackState.OK
+            self._last_kf_count = st.n_kf
+
+    def activate_localization_mode(self):
+        self.cfg.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.cfg.localization_only = False
+
+    def shutdown(self):
+        pass  # synchronous pipeline: nothing to join yet

@@ -1,0 +1,376 @@
+"""Per-frame tracking front-end: motion-model / reference-KF tracking,
+local-map tracking, keyframe decision.
+
+TPU-native equivalent of the reference's Tracking state machine
+(src/Tracking.cc — SURVEY.md §2 #9, §3.1): the functional core (frame
+build, projection gating, matching, pose optimization) is jitted device
+code with fixed shapes; this module is the thin host shell that sequences
+it and talks to the MapStore.
+
+Differences from the reference, by design (SURVEY.md §7):
+* no BoW in tracking: reference-KF fallback matches descriptors directly on
+  the MXU (the BoW vocabulary is only used for loop closure / relocalization
+  candidate retrieval, see loop/).
+* the "last frame" temporal points and the local-map points are both handled
+  by the same padded projection-match-optimize device pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.camera import Intrinsics, in_image
+from ..geometry.lie import (
+    quat_rotate,
+    se3_apply,
+    se3_compose,
+    se3_inverse,
+    se3_q,
+    se3_t,
+)
+from ..frontend.frame import FrameData, build_frame
+from ..map.store import MapStore
+from ..ops.brief import unpack_bits
+from ..ops.match import TH_HIGH, TH_LOW, match_descriptors, search_by_projection
+from ..ops.pyramid import PyramidSpec
+from ..solver.pose_opt import pose_optimization
+from ..solver.robust import octave_inv_sigma2
+
+
+class TrackState(Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    n_features: int = 1024
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    th_fast_high: float = 20.0
+    th_fast_low: float = 7.0
+    th_depth: float = 3.2          # meters: close/far split (reference ThDepth*b)
+    local_points_cap: int = 4096   # padded local-map snapshot size
+    motion_search_radius: float = 15.0
+    local_search_radius: float = 4.0
+    min_inliers_motion: int = 20
+    min_inliers_track: int = 30
+    kf_max_interval: int = 30
+    kf_tracked_ratio: float = 0.9
+    kf_min_inliers: int = 15
+    new_kf_close_points: int = 100
+    max_new_points_per_kf: int = 360
+
+
+@partial(jax.jit, static_argnames=("intr",))
+def project_points(T_cw, pos, normal, min_dist, max_dist, valid, intr: Intrinsics):
+    """Project local map points into the frame with the reference's gates
+    (Tracking::SearchLocalPoints / MapPoint::IsInFrustum):
+    positive depth, in-image, distance within scale range, viewing angle
+    cos > 0.5.  Also returns the predicted pyramid octave."""
+    xc = quat_rotate(se3_q(T_cw), pos) + se3_t(T_cw)
+    z = xc[..., 2]
+    u = intr.fx * xc[..., 0] / jnp.maximum(z, 1e-6) + intr.cx
+    v = intr.fy * xc[..., 1] / jnp.maximum(z, 1e-6) + intr.cy
+    uv = jnp.stack([u, v], axis=-1)
+
+    # camera center in world
+    C = -quat_rotate(jnp.concatenate([se3_q(T_cw)[:1], -se3_q(T_cw)[1:]]), se3_t(T_cw))
+    vec = pos - C
+    dist = jnp.linalg.norm(vec, axis=-1)
+    view_cos = jnp.sum(vec * normal, axis=-1) / jnp.maximum(dist, 1e-9)
+
+    ok = (
+        valid
+        & (z > 0.05)
+        & in_image(intr, uv, border=1.0)
+        & (dist >= 0.8 * min_dist)
+        & (dist <= 1.2 * max_dist)
+        & (view_cos > 0.5)
+    )
+    ratio = jnp.maximum(max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
+    oct_pred = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(1.2)).astype(jnp.int32), 0, 7
+    )
+    return uv, ok, oct_pred, z
+
+
+@partial(jax.jit, static_argnames=("intr",))
+def _match_and_optimize(
+    T_init,
+    pt_pos, pt_normal, pt_min_dist, pt_max_dist, pt_bits, pt_valid,
+    frame: FrameData,
+    radius_base,
+    max_dist_hamming,
+    intr: Intrinsics,
+):
+    """Project → gated match → pose optimization, all on device.
+
+    Returns (opt_result, match_idx [PL] kp index or -1).
+    """
+    uv, ok, oct_pred, _ = project_points(
+        T_init, pt_pos, pt_normal, pt_min_dist, pt_max_dist, pt_valid, intr
+    )
+    radius = radius_base * 1.2 ** oct_pred.astype(jnp.float32)
+    res = search_by_projection(
+        uv, pt_bits, ok, oct_pred,
+        frame.uv, frame.bits, frame.valid, frame.octave, frame.angle,
+        jnp.zeros_like(oct_pred, dtype=jnp.float32),
+        radius,
+        max_dist=max_dist_hamming,
+        ratio=0.95,
+        check_rotation=False,
+    )
+    kp_idx = jnp.maximum(res.idx, 0)
+    matched = res.valid
+    uv_obs = frame.uv[kp_idx]
+    ur_obs = jnp.where(matched, frame.u_right[kp_idx], -1.0)
+    inv_s2 = octave_inv_sigma2(frame.octave[kp_idx])
+    opt = pose_optimization(
+        T_init, pt_pos, uv_obs, ur_obs, inv_s2, matched, intr
+    )
+    return opt, jnp.where(matched, res.idx, -1), matched
+
+
+class Tracker:
+    def __init__(self, cfg: TrackerConfig, intr: Intrinsics, store: MapStore):
+        self.cfg = cfg
+        self.intr = intr
+        self.store = store
+        self.spec = PyramidSpec(
+            n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor,
+            height=intr.height,
+            width=intr.width,
+        )
+        self.state = TrackState.NOT_INITIALIZED
+        self.T_cw = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+        self.velocity: Optional[np.ndarray] = None
+        self.ref_kf: int = -1
+        self.last_kf: int = -1
+        self.frames_since_kf = 0
+        self.frame_id = 0
+        self.last_inliers = 0
+        # last-frame cache for temporal matching
+        self._last_point_ids: Optional[np.ndarray] = None  # [PL] map point ids
+        self.metrics = []
+
+    # -----------------------------------------------------------------
+    def process(self, gray: np.ndarray, depth: np.ndarray, ts: float):
+        """Track one RGB-D frame; returns (T_cw [7] np, state)."""
+        frame = build_frame(
+            jnp.asarray(gray), jnp.asarray(depth), self.spec, self.intr,
+            n_features=self.cfg.n_features,
+            th_high=self.cfg.th_fast_high, th_low=self.cfg.th_fast_low,
+        )
+        if self.state == TrackState.NOT_INITIALIZED:
+            self._initialize(frame, ts)
+        else:
+            self._track(frame, ts)
+        self.frame_id += 1
+        return self.T_cw.copy(), self.state
+
+    # -----------------------------------------------------------------
+    def _initialize(self, frame: FrameData, ts: float):
+        n_depth = int(jnp.sum(frame.has_depth))
+        if n_depth < 100:
+            return  # wait for a frame with enough depth
+        self.T_cw = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+        kf = self._insert_keyframe(frame, ts, matches_pt_ids=None, match_kp_idx=None)
+        self.ref_kf = kf
+        self.last_kf = kf
+        self.state = TrackState.OK
+        self.frames_since_kf = 0
+        self.last_inliers = n_depth
+
+    # -----------------------------------------------------------------
+    def _local_snapshot(self):
+        """Padded device snapshot of the local map around ref_kf."""
+        st = self.store
+        kfs = st.local_keyframes(self.ref_kf, min_weight=5)
+        pts = st.local_points(kfs)
+        cap = self.cfg.local_points_cap
+        if len(pts) > cap:
+            # keep the most-observed points
+            order = np.argsort(-st.pt_n_obs[pts], kind="stable")
+            pts = pts[order[:cap]]
+        pad = cap - len(pts)
+        ids = np.concatenate([pts, np.full(pad, -1, np.int32)])
+        sel = np.maximum(ids, 0)
+        pos = jnp.asarray(st.pt_pos[sel])
+        normal = jnp.asarray(st.pt_normal[sel])
+        mind = jnp.asarray(st.pt_min_dist[sel])
+        maxd = jnp.asarray(st.pt_max_dist[sel])
+        bits = unpack_bits(jnp.asarray(st.pt_desc[sel]))
+        valid = jnp.asarray(ids >= 0)
+        return ids, pos, normal, mind, maxd, bits, valid
+
+    def _track(self, frame: FrameData, ts: float):
+        cfg = self.cfg
+        ids, pos, normal, mind, maxd, bits, valid = self._local_snapshot()
+
+        # --- step 1: motion model (or last pose) coarse alignment ---------
+        if self.velocity is not None:
+            T_pred = np.asarray(
+                se3_compose(jnp.asarray(self.velocity), jnp.asarray(self.T_cw))
+            )
+        else:
+            T_pred = self.T_cw
+        opt, _, _ = _match_and_optimize(
+            jnp.asarray(T_pred), pos, normal, mind, maxd, bits, valid,
+            frame, cfg.motion_search_radius, TH_HIGH, self.intr,
+        )
+        n1 = int(opt.n_inliers)
+        if n1 >= cfg.min_inliers_motion:
+            T_cur = opt.T_cw
+        else:
+            # --- fallback: global descriptor match against local map ------
+            res = match_descriptors(
+                bits, frame.bits, valid, frame.valid,
+                max_dist=TH_LOW, ratio=0.85, check_rotation=False,
+            )
+            kp_idx = jnp.maximum(res.idx, 0)
+            opt_fb = pose_optimization(
+                jnp.asarray(self.T_cw), pos, frame.uv[kp_idx],
+                jnp.where(res.valid, frame.u_right[kp_idx], -1.0),
+                octave_inv_sigma2(frame.octave[kp_idx]),
+                res.valid, self.intr,
+            )
+            if int(opt_fb.n_inliers) < cfg.kf_min_inliers:
+                self.state = TrackState.LOST
+                self.velocity = None
+                self.metrics.append(
+                    dict(frame=self.frame_id, state="LOST", inliers=0)
+                )
+                return
+            T_cur = opt_fb.T_cw
+
+        # --- step 2: track local map (tight radius) -----------------------
+        opt2, match_idx, matched = _match_and_optimize(
+            T_cur, pos, normal, mind, maxd, bits, valid,
+            frame, cfg.local_search_radius, TH_HIGH, self.intr,
+        )
+        n2 = int(opt2.n_inliers)
+        if n2 < cfg.kf_min_inliers:
+            self.state = TrackState.LOST
+            self.velocity = None
+            self.metrics.append(dict(frame=self.frame_id, state="LOST", inliers=n2))
+            return
+
+        T_new = np.asarray(opt2.T_cw)
+        # velocity update (T_new * T_last^-1)
+        self.velocity = np.asarray(
+            se3_compose(jnp.asarray(T_new), se3_inverse(jnp.asarray(self.T_cw)))
+        )
+        self.T_cw = T_new
+        self.state = TrackState.OK
+        self.frames_since_kf += 1
+        self.last_inliers = n2
+
+        # update found/visible stats
+        inl = np.asarray(opt2.inliers)
+        mids = np.asarray(ids)
+        seen = mids[np.asarray(matched)]
+        self.store.pt_visible[seen[seen >= 0]] += 1
+        found = mids[inl]
+        self.store.pt_found[found[found >= 0]] += 1
+
+        # --- step 3: keyframe decision ------------------------------------
+        frame_np = self._frame_to_np(frame)
+        n_close_tracked = int(
+            np.sum(
+                (frame_np["depth"][np.asarray(match_idx)[inl]] > 0)
+                & (frame_np["depth"][np.asarray(match_idx)[inl]] < cfg.th_depth)
+            )
+        )
+        close_avail = int(
+            np.sum(
+                (frame_np["depth"] > 0)
+                & (frame_np["depth"] < cfg.th_depth)
+                & frame_np["valid"]
+            )
+        )
+        ref_tracked = max(int(np.sum(self.store.kf_obs[self.ref_kf] >= 0)), 1)
+        need_kf = (
+            self.frames_since_kf >= cfg.kf_max_interval
+            or (n2 < cfg.kf_tracked_ratio * ref_tracked and n2 > cfg.kf_min_inliers)
+            or (
+                n_close_tracked < cfg.new_kf_close_points
+                and close_avail - n_close_tracked > 70
+            )
+        )
+        if need_kf:
+            kf = self._insert_keyframe(
+                frame, ts,
+                matches_pt_ids=np.where(inl, mids, -1),
+                match_kp_idx=np.asarray(match_idx),
+                frame_np=frame_np,
+            )
+            self.ref_kf = kf
+            self.last_kf = kf
+            self.frames_since_kf = 0
+        self.metrics.append(
+            dict(frame=self.frame_id, state="OK", inliers=n2, kf=int(need_kf))
+        )
+
+    # -----------------------------------------------------------------
+    def _frame_to_np(self, frame: FrameData) -> dict:
+        return dict(
+            uv=np.asarray(frame.uv),
+            octave=np.asarray(frame.octave),
+            angle=np.asarray(frame.angle),
+            desc=np.asarray(frame.desc),
+            depth=np.asarray(frame.depth),
+            u_right=np.asarray(frame.u_right),
+            valid=np.asarray(frame.valid),
+            xyz_cam=np.asarray(frame.xyz_cam),
+        )
+
+    def _insert_keyframe(
+        self, frame: FrameData, ts, matches_pt_ids, match_kp_idx, frame_np=None
+    ) -> int:
+        """Create a keyframe: bind tracked points to kp slots, then create new
+        map points from close-depth unmatched keypoints (reference:
+        Tracking::CreateNewKeyFrame RGB-D path)."""
+        st = self.store
+        frame_np = frame_np or self._frame_to_np(frame)
+        kf = st.add_keyframe(self.T_cw, ts, frame_np, self.frame_id)
+
+        taken = np.zeros(self.cfg.n_features, bool)
+        if matches_pt_ids is not None:
+            for pid, kp in zip(matches_pt_ids, match_kp_idx):
+                if pid >= 0 and kp >= 0 and not taken[kp]:
+                    st.add_observation(int(pid), kf, int(kp))
+                    taken[kp] = True
+
+        # new points from depth-backed unmatched keypoints, nearest first
+        d = frame_np["depth"]
+        cand = np.nonzero(
+            frame_np["valid"] & ~taken & (d > 1e-3) & (d < self.cfg.th_depth * 2)
+        )[0]
+        order = cand[np.argsort(d[cand], kind="stable")]
+        T_wc = se3_inverse(jnp.asarray(self.T_cw))
+        xyz_cam = frame_np["xyz_cam"]
+        # one batched device call for all candidate unprojections
+        pos_w_all = np.asarray(se3_apply(T_wc, jnp.asarray(xyz_cam[order])))
+        C = np.asarray(se3_t(T_wc))
+        created = 0
+        for i, kp in enumerate(order):
+            if created >= self.cfg.max_new_points_per_kf and d[kp] > self.cfg.th_depth:
+                break
+            pos_w = pos_w_all[i]
+            normal = pos_w - C
+            nn = np.linalg.norm(normal)
+            normal = normal / max(nn, 1e-9)
+            pid = st.add_point(pos_w, frame_np["desc"][kp], normal, kf, float(nn))
+            st.add_observation(pid, kf, int(kp))
+            created += 1
+        return kf
