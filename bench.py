@@ -1,0 +1,65 @@
+"""Benchmark: tracked frames/sec/chip on the synthetic room sequence.
+
+Prints ONE JSON line:
+  {"metric": "tracking_fps", "value": N, "unit": "frames/sec", "vs_baseline": N/30}
+
+Baseline = 30 fps, the reference CPU system's real-time tracking rate
+(BASELINE.md; the reference mount was empty, so the published ~30 fps
+ORB-SLAM2-family figure is the denominator).
+
+Runs on the default backend (the real TPU chip under the driver).  Uses the
+persistent compilation cache so repeated runs skip the slow first compile.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spslam_tpu.eval.ate import ate_rmse
+    from spslam_tpu.io.synthetic import make_sequence
+    from spslam_tpu.system import System, SystemConfig
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "40"))
+    print(f"backend={jax.default_backend()} rendering {n_frames} frames...", file=sys.stderr)
+    seq = make_sequence(n_frames=n_frames)
+
+    sys_ = System(SystemConfig(intr=seq.intr, local_ba=True))
+    times = []
+    for i, ((gray, depth), ts) in enumerate(zip(seq.frames, seq.timestamps)):
+        t0 = time.perf_counter()
+        sys_.track_rgbd(gray, depth, ts)
+        times.append(time.perf_counter() - t0)
+
+    # drop warmup/compile frames, keep steady state
+    steady = np.array(times[5:]) if len(times) > 10 else np.array(times)
+    fps = 1.0 / float(np.median(steady))
+    rmse, _ = ate_rmse(sys_.poses(), seq.poses_gt)
+    print(
+        f"median {np.median(steady)*1000:.1f} ms/frame, ATE {rmse*1000:.2f} mm, "
+        f"kfs={sys_.store.n_kf} pts={int(sys_.store.pt_valid.sum())}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "tracking_fps",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 30.0, 3),
+        "ate_rmse_m": round(rmse, 5),
+    }))
+
+
+if __name__ == "__main__":
+    main()

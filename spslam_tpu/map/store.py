@@ -78,10 +78,16 @@ class MapStore:
         self.pl_coef = np.zeros((L, 4), np.float32)
         self.pl_valid = np.zeros(L, bool)
         self.pl_obs_kf = np.full((L, O), -1, np.int32)
+        self.pl_obs_pi = np.zeros((L, O, 4), np.float32)  # observed (n,d) in KF cam frame
+        self.pl_obs_w = np.zeros((L, O), np.float32)      # information (inlier-based)
         self.pl_obs_count = np.zeros(L, np.int32)
         self.pl_ref_kf = np.full(L, -1, np.int32)
         self.pl_n_pts = np.zeros(L, np.int32)    # supporting inlier count
         self.n_pl = 0
+        # plane-plane structural edges ("supposed plane" relations)
+        self.ppe_a = np.zeros(0, np.int32)
+        self.ppe_b = np.zeros(0, np.int32)
+        self.ppe_type = np.zeros(0, np.int32)  # 0 parallel, 1 perpendicular
         # monotonically increasing map version (bumped by any writer)
         self.version = 0
 
@@ -235,11 +241,26 @@ class MapStore:
         self.version += 1
         return l
 
-    def add_plane_observation(self, l: int, kf: int):
+    def add_plane_observation(self, l: int, kf: int, pi_cam=None, weight: float = 1.0):
         c = self.pl_obs_count[l]
         if c < self.pl_obs_kf.shape[1] and not (self.pl_obs_kf[l, :c] == kf).any():
             self.pl_obs_kf[l, c] = kf
+            if pi_cam is not None:
+                self.pl_obs_pi[l, c] = pi_cam
+            self.pl_obs_w[l, c] = weight
             self.pl_obs_count[l] = c + 1
+            self.version += 1
+
+    def add_plane_edge(self, a: int, b: int, etype: int):
+        """Structural parallel (0) / perpendicular (1) edge between planes."""
+        dup = (
+            ((self.ppe_a == a) & (self.ppe_b == b))
+            | ((self.ppe_a == b) & (self.ppe_b == a))
+        ).any()
+        if not dup:
+            self.ppe_a = np.append(self.ppe_a, np.int32(a))
+            self.ppe_b = np.append(self.ppe_b, np.int32(b))
+            self.ppe_type = np.append(self.ppe_type, np.int32(etype))
             self.version += 1
 
     # ------------------------------------------------------------------

@@ -161,6 +161,56 @@ class LocalMapper:
         L, Q, E = cfg.ba_max_planes, cfg.ba_max_plane_obs, cfg.ba_max_pp_edges
         planes = np.zeros((L, 4), np.float32)
         planes[:, 2] = 1.0
+        plane_valid = np.zeros(L, bool)
+        pobs_cam = np.zeros(Q, np.int32)
+        pobs_plane = np.zeros(Q, np.int32)
+        pobs_pi = np.tile(np.array([0, 0, 1, 0], np.float32), (Q, 1))
+        pobs_w = np.zeros(Q, np.float32)
+        pobs_valid = np.zeros(Q, bool)
+        pp_a = np.zeros(E, np.int32)
+        pp_b = np.zeros(E, np.int32)
+        pp_type = np.zeros(E, np.int32)
+        pp_w = np.zeros(E, np.float32)
+        pp_valid = np.zeros(E, bool)
+        plane_src = []
+        # gather map planes observed from window keyframes (SP-SLAM plane
+        # vertices + pose-plane edges in the local BA)
+        pl_ids = []
+        q = 0
+        for l in np.nonzero(st.pl_valid)[0]:
+            obs_in_window = [
+                j for j in range(st.pl_obs_count[l])
+                if int(st.pl_obs_kf[l, j]) in kf_index
+            ]
+            if not obs_in_window or len(pl_ids) >= L:
+                continue
+            li = len(pl_ids)
+            pl_ids.append(int(l))
+            planes[li] = st.pl_coef[l]
+            plane_valid[li] = True
+            for j in obs_in_window:
+                if q >= Q:
+                    break
+                pobs_cam[q] = kf_index[int(st.pl_obs_kf[l, j])]
+                pobs_plane[q] = li
+                pobs_pi[q] = st.pl_obs_pi[l, j]
+                pobs_w[q] = max(st.pl_obs_w[l, j], 1e-3)
+                pobs_valid[q] = True
+                q += 1
+        plane_src = pl_ids
+        # structural parallel/perpendicular edges among window planes
+        pl_index = {l: i for i, l in enumerate(pl_ids)}
+        e = 0
+        for a, b, t in zip(st.ppe_a, st.ppe_b, st.ppe_type):
+            if e >= E:
+                break
+            if int(a) in pl_index and int(b) in pl_index:
+                pp_a[e] = pl_index[int(a)]
+                pp_b[e] = pl_index[int(b)]
+                pp_type[e] = int(t)
+                pp_w[e] = 10.0
+                pp_valid[e] = True
+                e += 1
         prob = BAProblem(
             poses=jnp.asarray(poses),
             pose_fixed=jnp.asarray(pose_fixed),
@@ -175,17 +225,17 @@ class LocalMapper:
             obs_valid=jnp.asarray(obs_valid),
             pt_obs=jnp.asarray(pt_obs),
             planes=jnp.asarray(planes),
-            plane_valid=jnp.zeros(L, bool),
-            pobs_cam=jnp.zeros(Q, jnp.int32),
-            pobs_plane=jnp.zeros(Q, jnp.int32),
-            pobs_pi=jnp.asarray(np.tile([0, 0, 1, 0], (Q, 1)).astype(np.float32)),
-            pobs_w=jnp.zeros(Q),
-            pobs_valid=jnp.zeros(Q, bool),
-            pp_a=jnp.zeros(E, jnp.int32),
-            pp_b=jnp.zeros(E, jnp.int32),
-            pp_type=jnp.zeros(E, jnp.int32),
-            pp_w=jnp.zeros(E),
-            pp_valid=jnp.zeros(E, bool),
+            plane_valid=jnp.asarray(plane_valid),
+            pobs_cam=jnp.asarray(pobs_cam),
+            pobs_plane=jnp.asarray(pobs_plane),
+            pobs_pi=jnp.asarray(pobs_pi),
+            pobs_w=jnp.asarray(pobs_w),
+            pobs_valid=jnp.asarray(pobs_valid),
+            pp_a=jnp.asarray(pp_a),
+            pp_b=jnp.asarray(pp_b),
+            pp_type=jnp.asarray(pp_type),
+            pp_w=jnp.asarray(pp_w),
+            pp_valid=jnp.asarray(pp_valid),
         )
         res = bundle_adjust(prob, self.intr)
         # --- write back ---
@@ -195,6 +245,10 @@ class LocalMapper:
                 st.set_kf_pose(int(k), new_poses[i])
         new_points = np.asarray(res.points)
         st.pt_pos[pts] = new_points[: len(pts)]
+        # write back optimized plane coefficients
+        new_planes = np.asarray(res.planes)
+        for li, l in enumerate(plane_src):
+            st.pl_coef[l] = new_planes[li]
         # remove outlier observations
         inl = np.asarray(res.obs_inlier)
         for ri, (p, k, slot) in enumerate(obs_src):

@@ -86,13 +86,16 @@ class BAResult(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _point_residuals(poses, points, prob: BAProblem, intr: Intrinsics):
-    """Reprojection residuals for all point observations.
+def point_obs_residuals(poses, points, obs_cam, obs_pt, obs_uv, obs_ur,
+                        obs_inv_sigma2, intr: Intrinsics):
+    """Reprojection residuals for a flat list of point observations.
 
+    Shared by the single-chip BA below and the distributed BA
+    (parallel/dist_ba.py), which calls it on per-shard slices.
     Returns e [R,3], J_c [R,3,6] (pose), J_p [R,3,3] (point), chi2 [R].
     """
-    T = poses[prob.obs_cam]          # [R,7]
-    X = points[prob.obs_pt]          # [R,3]
+    T = poses[obs_cam]               # [R,7]
+    X = points[obs_pt]               # [R,3]
     q, t = se3_q(T), se3_t(T)
     xc = quat_rotate(q, X) + t
     x, y, z = xc[..., 0], xc[..., 1], jnp.maximum(xc[..., 2], 1e-6)
@@ -102,12 +105,12 @@ def _point_residuals(poses, points, prob: BAProblem, intr: Intrinsics):
     v = intr.fy * y * iz + intr.cy
     ur = u - intr.bf * iz
 
-    has_r = prob.obs_ur >= 0
+    has_r = obs_ur >= 0
     e = jnp.stack(
         [
-            prob.obs_uv[..., 0] - u,
-            prob.obs_uv[..., 1] - v,
-            jnp.where(has_r, prob.obs_ur - ur, 0.0),
+            obs_uv[..., 0] - u,
+            obs_uv[..., 1] - v,
+            jnp.where(has_r, obs_ur - ur, 0.0),
         ],
         axis=-1,
     )
@@ -134,8 +137,15 @@ def _point_residuals(poses, points, prob: BAProblem, intr: Intrinsics):
     e = e * row_mask
     J_c = J_c * row_mask[..., None]
     J_p = J_p * row_mask[..., None]
-    chi2 = jnp.sum(e * e, axis=-1) * prob.obs_inv_sigma2
+    chi2 = jnp.sum(e * e, axis=-1) * obs_inv_sigma2
     return e, J_c, J_p, chi2
+
+
+def _point_residuals(poses, points, prob: BAProblem, intr: Intrinsics):
+    return point_obs_residuals(
+        poses, points, prob.obs_cam, prob.obs_pt, prob.obs_uv, prob.obs_ur,
+        prob.obs_inv_sigma2, intr,
+    )
 
 
 def _plane_obs_residuals(poses, planes, prob: BAProblem):
