@@ -36,14 +36,28 @@ class TexturedRect:
 
 
 def _noise_texture(rng, th=256, tw=256, base=120.0, contrast=90.0, cell=16):
-    """Smooth random texture with enough corners for FAST."""
-    small = rng.uniform(-1, 1, size=(th // cell, tw // cell))
+    """Smooth random texture with enough corners for FAST.
+
+    Each call varies the spatial scales and mixes in a few high-contrast
+    blobs, so different surfaces are statistically DISTINCT — place
+    recognition needs distinguishable views (real rooms have them).
+    """
     import cv2
 
+    cell = int(rng.choice([8, 12, 16, 24, 32]))
+    small = rng.uniform(-1, 1, size=(max(th // cell, 2), max(tw // cell, 2)))
     tex = cv2.resize(small.astype(np.float32), (tw, th), interpolation=cv2.INTER_CUBIC)
-    # add fine checkerboard-ish detail for corner density
-    fine = rng.uniform(-1, 1, size=(th // 4, tw // 4))
+    fine_cell = int(rng.choice([3, 4, 6]))
+    fine = rng.uniform(-1, 1, size=(th // fine_cell, tw // fine_cell))
     tex = tex + 0.5 * cv2.resize(fine.astype(np.float32), (tw, th), interpolation=cv2.INTER_NEAREST)
+    # distinctive high-contrast blobs (like posters/furniture edges)
+    for _ in range(int(rng.integers(4, 10))):
+        cy, cx = rng.integers(20, th - 20), rng.integers(20, tw - 20)
+        r = int(rng.integers(8, 30))
+        sign = rng.choice([-1.5, 1.5])
+        yy, xx = np.ogrid[:th, :tw]
+        mask = (yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2
+        tex[mask] += sign
     tex = base + contrast * tex / np.abs(tex).max()
     return np.clip(tex, 5, 250).astype(np.float32)
 
@@ -175,6 +189,33 @@ def orbit_trajectory(n_frames: int, radius: float = 0.8, seed: int = 1) -> np.nd
     return np.stack(poses)
 
 
+def loop_trajectory(n_frames: int, seed: int = 1) -> np.ndarray:
+    """Full 360-degree yaw rotation in place (plus small sway) that returns
+    to the starting view — a guaranteed loop-closure opportunity.
+    Returns [F, 7] T_cw poses.
+    """
+    import jax.numpy as jnp
+
+    from ..geometry.lie import mat_to_quat, quat_to_mat, so3_exp_quat
+
+    poses = []
+    for i in range(n_frames):
+        a = 2.0 * np.pi * i / n_frames  # full turn over the sequence
+        cx = 0.4 * np.sin(a)
+        cz = -0.8 + 0.2 * np.sin(2 * a)
+        cy = 0.05 * np.sin(3 * a)
+        yaw = a
+        pitch = 0.03 * np.sin(2 * a)
+        q = np.asarray(so3_exp_quat(jnp.array([pitch, yaw, 0.0])))
+        Rwc = np.asarray(quat_to_mat(jnp.array(q)))
+        Cw = np.array([cx, cy, cz])
+        Rcw = Rwc.T
+        tcw = -Rcw @ Cw
+        qcw = np.asarray(mat_to_quat(jnp.array(Rcw)))
+        poses.append(np.concatenate([qcw, tcw]).astype(np.float32))
+    return np.stack(poses)
+
+
 @dataclass
 class SyntheticSequence:
     """Pre-rendered sequence with ground truth."""
@@ -190,10 +231,14 @@ def make_sequence(
     intr: Intrinsics | None = None,
     seed: int = 0,
     depth_noise: float = 0.0,
+    trajectory: str = "orbit",
 ) -> SyntheticSequence:
     intr = intr or Intrinsics(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0, width=640, height=480)
     rects = make_room(seed=seed)
-    poses = orbit_trajectory(n_frames, seed=seed + 1)
+    if trajectory == "loop":
+        poses = loop_trajectory(n_frames, seed=seed + 1)
+    else:
+        poses = orbit_trajectory(n_frames, seed=seed + 1)
     rng = np.random.default_rng(seed + 2)
     seq = SyntheticSequence(
         frames=[], poses_gt=poses, timestamps=np.arange(n_frames) / 30.0, intr=intr

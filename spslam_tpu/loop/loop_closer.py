@@ -1,0 +1,315 @@
+"""Loop closing: BoW candidate detection, geometric verification, loop
+correction, pose-graph optimization.
+
+TPU-native equivalent of the reference's LoopClosing thread
+(src/LoopClosing.cc — SURVEY.md §2 #12, §3.3):
+
+* DetectLoop: BoW query with min-score gating against the covisible
+  neighborhood + 3-consecutive-consistent-group check.
+* ComputeSim3 -> here ComputeSE3: MXU descriptor matching between the two
+  keyframes' depth-backed keypoints, then batched Horn RANSAC
+  (loop/sim3.py); scale fixed to 1 for RGB-D like the reference.
+* CorrectLoop: pose-graph optimization over the essential graph
+  (sequential/spanning edges + strong covisibility edges + loop edges),
+  then map-point correction through each point's reference keyframe.
+
+Runs synchronously after keyframe insertion (the reference runs it on its
+own thread; see tracking/pipeline.py for the async executor).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.camera import Intrinsics
+from ..geometry.lie import se3_apply, se3_compose, se3_inverse
+from ..map.store import MapStore
+from ..ops.brief import unpack_bits
+from ..ops.match import match_descriptors
+from ..solver.pose_graph import PoseGraphProblem, optimize_pose_graph
+from .kfdb import KeyFrameDatabase
+from .sim3 import ransac_align
+from .vocab import Vocabulary, bow_similarity
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    min_interval_kfs: int = 10      # don't match very recent keyframes
+    consistency_needed: int = 3     # consecutive consistent detections
+    min_inliers: int = 20           # RANSAC inliers to accept (reference: 20)
+    covis_edge_weight: int = 30     # covisibility edges in the essential graph
+    loop_edge_weight: float = 10.0
+    pose_graph_iters: int = 20
+
+
+class LoopCloser:
+    def __init__(self, intr: Intrinsics, store: MapStore,
+                 vocab: Vocabulary | None = None, cfg: LoopConfig = LoopConfig()):
+        self.intr = intr
+        self.store = store
+        self.cfg = cfg
+        self.vocab = vocab or Vocabulary()
+        self.kfdb = KeyFrameDatabase()
+        self._consistent: list[tuple[set, int]] = []
+        self.loop_edges: list[tuple[int, int, np.ndarray]] = []  # (i, j, T_ij rel)
+        self.n_loops_closed = 0
+        self._rng_key = jax.random.PRNGKey(17)
+
+    # -----------------------------------------------------------------
+    def process_keyframe(self, kf: int) -> bool:
+        st = self.store
+        valid_slots = st.kf_kp_valid[kf]
+        descs = st.kf_desc[kf][valid_slots]
+        if not self.vocab.trained:
+            self.vocab.add_training_descriptors(descs)
+            if not self.vocab.trained:
+                return False
+            # vocabulary just trained: backfill BoW vectors for all earlier
+            # keyframes so they become loop/relocalization candidates (the
+            # reference sidesteps this by loading a pretrained ORBvoc)
+            for k in range(st.n_kf):
+                if k != kf and st.kf_valid[k] and k not in self.kfdb.bow:
+                    d_k = st.kf_desc[k][st.kf_kp_valid[k]]
+                    self.kfdb.add(k, self.vocab.bow_vector(d_k))
+        bow = self.vocab.bow_vector(descs)
+
+        covis = st.covisibility(kf, min_weight=5)
+        exclude = set(int(c) for c in covis) | {int(kf)}
+        exclude |= {
+            int(k) for k in range(st.n_kf)
+            if abs(int(st.kf_frame_id[k]) - int(st.kf_frame_id[kf])) < 1
+            or kf - k < self.cfg.min_interval_kfs
+        }
+        # reference min-score gate: candidates must score at least as high as
+        # the weakest covisible keyframe (DetectLoop's minScore)
+        min_score = 0.015
+        covis_scores = [
+            s for s in (
+                bow_similarity(bow, self.kfdb.bow.get(int(c), {})) for c in covis[:10]
+            ) if s > 0
+        ]
+        if covis_scores:
+            min_score = max(min_score, min(covis_scores))
+        cands = self.kfdb.query(bow, exclude, min_score)
+        self.kfdb.add(kf, bow)
+        if not cands:
+            self._consistent = []
+            return False
+
+        # --- covisibility-consistency over consecutive detections ---------
+        accepted: list[int] = []
+        new_groups = []
+        for cand, score in cands:
+            group = set(int(c) for c in st.covisibility(cand, min_weight=5)) | {cand}
+            count = 0
+            for prev_group, prev_count in self._consistent:
+                if group & prev_group:
+                    count = max(count, prev_count + 1)
+            new_groups.append((group, count))
+            if count + 1 >= self.cfg.consistency_needed:
+                accepted.append(cand)
+        self._consistent = new_groups
+
+        # geometric verification on every consistent candidate until one
+        # passes (the reference iterates candidates in ComputeSim3 too)
+        for cand in accepted:
+            if self._close_loop(kf, cand):
+                return True
+        return False
+
+    # -----------------------------------------------------------------
+    def _close_loop(self, kf: int, cand: int) -> bool:
+        st = self.store
+        ok, T_cand_cur = self._geometric_check(kf, cand)
+        if not ok:
+            return False
+
+        # corrected current pose: T_cw_cur' = T_cand_cur^{-1} . T_cw_cand
+        # loop edge measurement (rel = T_i . T_j^{-1} convention, i=cand, j=kf)
+        self.loop_edges.append((int(cand), int(kf), np.asarray(T_cand_cur)))
+
+        old_poses = st.kf_pose.copy()
+        self._optimize_graph(kf, cand)
+        self._correct_points(old_poses)
+        self._global_refine()
+        self.n_loops_closed += 1
+        self._consistent = []
+        return True
+
+    # -----------------------------------------------------------------
+    def _global_refine(self, n_iters: int = 10):
+        """Global map settle after the pose-graph correction — the
+        reference's RunGlobalBundleAdjustment, implemented as batched
+        alternating resection-intersection (solver/ba.py refine_alternating)."""
+        import jax.numpy as jnp
+
+        from ..solver.ba import refine_alternating
+        from ..solver.robust import octave_inv_sigma2
+
+        st = self.store
+        K = st.cfg.max_keyframes
+        pts = np.nonzero(st.pt_valid)[0]
+        if len(pts) < 50:
+            return
+        # flatten all observations from the per-point tables (vectorized)
+        kf_arr = st.pt_obs_kf[pts]                      # [Np, O]
+        slot_arr = st.pt_obs_slot[pts]
+        ok = (kf_arr >= 0) & st.kf_valid[np.maximum(kf_arr, 0)]
+        pt_idx = np.broadcast_to(np.arange(len(pts))[:, None], kf_arr.shape)
+        oc = kf_arr[ok].astype(np.int32)
+        op = pt_idx[ok].astype(np.int32)
+        sl = slot_arr[ok]
+        ouv = st.kf_uv[oc, sl]
+        our = st.kf_ur[oc, sl]
+        ois = np.asarray(octave_inv_sigma2(jnp.asarray(st.kf_octave[oc, sl])))
+
+        def pad_to(x, n, fill=0):
+            out = np.full((n,) + x.shape[1:], fill, x.dtype)
+            out[: len(x)] = x
+            return out
+
+        def pow2(n):
+            p = 1024
+            while p < n:
+                p *= 2
+            return p
+
+        R = pow2(len(oc))
+        P = pow2(len(pts))
+        pose_fixed = ~st.kf_valid.copy()
+        valid_kfs = np.nonzero(st.kf_valid)[0]
+        if len(valid_kfs):
+            pose_fixed[valid_kfs[0]] = True  # gauge
+        points_pad = pad_to(st.pt_pos[pts], P)
+        pvalid = np.zeros(P, bool)
+        pvalid[: len(pts)] = True
+        new_poses, new_points = refine_alternating(
+            jnp.asarray(st.kf_pose), jnp.asarray(pose_fixed),
+            jnp.asarray(points_pad), jnp.asarray(pvalid),
+            jnp.asarray(pad_to(oc, R)), jnp.asarray(pad_to(op, R)),
+            jnp.asarray(pad_to(ouv, R)), jnp.asarray(pad_to(our, R, -1.0)),
+            jnp.asarray(pad_to(ois, R)),
+            jnp.asarray(pad_to(np.ones(len(oc), np.float32), R)),
+            self.intr, n_iters=n_iters,
+        )
+        st.kf_pose[st.kf_valid] = np.asarray(new_poses)[st.kf_valid]
+        st.pt_pos[pts] = np.asarray(new_points)[: len(pts)]
+        st.version += 1
+
+    def _geometric_check(self, kf: int, cand: int):
+        """MXU descriptor match + 3D-3D RANSAC between two keyframes."""
+        st = self.store
+        cfg = self.cfg
+
+        def kf_arrays(k):
+            bits = unpack_bits(jnp.asarray(st.kf_desc[k]))
+            valid = jnp.asarray(st.kf_kp_valid[k] & (st.kf_depth[k] > 1e-3))
+            return bits, valid
+
+        bits_a, valid_a = kf_arrays(kf)
+        bits_b, valid_b = kf_arrays(cand)
+        res = match_descriptors(
+            bits_a, bits_b, valid_a, valid_b,
+            jnp.asarray(st.kf_angle[kf]), jnp.asarray(st.kf_angle[cand]),
+            max_dist=64.0, ratio=0.85,
+        )
+        m = np.asarray(res.valid)
+        if m.sum() < cfg.min_inliers:
+            return False, None
+        # unproject both sides (camera frames)
+        from ..geometry.camera import unproject
+
+        uv_a = jnp.asarray(st.kf_uv[kf])
+        d_a = jnp.asarray(st.kf_depth[kf])
+        pa = unproject(self.intr, uv_a, d_a)
+        idx = np.maximum(np.asarray(res.idx), 0)
+        uv_b = jnp.asarray(st.kf_uv[cand][idx])
+        d_b = jnp.asarray(st.kf_depth[cand][idx])
+        pb = unproject(self.intr, uv_b, d_b)
+
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        align = ransac_align(pa, pb, jnp.asarray(m), sub)
+        if int(align.n_inliers) < cfg.min_inliers:
+            return False, None
+        return True, align.T_ba
+
+    # -----------------------------------------------------------------
+    def _optimize_graph(self, kf: int, cand: int):
+        """Essential graph: sequential + covisibility + loop edges."""
+        st = self.store
+        K = st.cfg.max_keyframes
+        valid_ids = np.nonzero(st.kf_valid[: st.n_kf])[0]
+        ei, ej, eT, ew = [], [], [], []
+
+        def rel(i, j):
+            return np.asarray(
+                se3_compose(jnp.asarray(st.kf_pose[i]), se3_inverse(jnp.asarray(st.kf_pose[j])))
+            )
+
+        # sequential (spanning-tree-like) edges between consecutive valid KFs
+        for a, b in zip(valid_ids[:-1], valid_ids[1:]):
+            ei.append(int(a)); ej.append(int(b)); eT.append(rel(a, b)); ew.append(1.0)
+        # strong covisibility edges
+        seen = set()
+        for k in valid_ids:
+            for c in st.covisibility(int(k), min_weight=self.cfg.covis_edge_weight)[:5]:
+                key = (min(int(k), int(c)), max(int(k), int(c)))
+                if key in seen or abs(int(k) - int(c)) <= 1:
+                    continue
+                seen.add(key)
+                ei.append(int(k)); ej.append(int(c)); eT.append(rel(int(k), int(c))); ew.append(1.0)
+        # loop edges: measured relative transform
+        for (i, j, T_ij) in self.loop_edges:
+            if st.kf_valid[i] and st.kf_valid[j]:
+                ei.append(int(i)); ej.append(int(j)); eT.append(T_ij)
+                ew.append(self.cfg.loop_edge_weight)
+
+        E = len(ei)
+        fixed = np.zeros(K, bool)
+        fixed[valid_ids[0]] = True
+        prob = PoseGraphProblem(
+            poses=jnp.asarray(st.kf_pose),
+            fixed=jnp.asarray(fixed | ~st.kf_valid),
+            valid=jnp.asarray(st.kf_valid),
+            edge_i=jnp.asarray(np.array(ei, np.int32)),
+            edge_j=jnp.asarray(np.array(ej, np.int32)),
+            edge_T=jnp.asarray(np.stack(eT).astype(np.float32)),
+            edge_w=jnp.asarray(np.array(ew, np.float32)),
+            edge_valid=jnp.ones(E, bool),
+        )
+        new_poses = np.asarray(optimize_pose_graph(prob, n_iters=self.cfg.pose_graph_iters))
+        st.kf_pose[st.kf_valid] = new_poses[st.kf_valid]
+        st.version += 1
+
+    def _correct_points(self, old_poses: np.ndarray):
+        """Transform each map point through its reference keyframe's pose
+        correction: X' = T_wc_new . T_cw_old . X  (reference CorrectLoop)."""
+        st = self.store
+        pts = np.nonzero(st.pt_valid)[0]
+        if len(pts) == 0:
+            return
+        refs = st.pt_ref_kf[pts]
+        refs = np.where((refs >= 0) & st.kf_valid[np.maximum(refs, 0)], refs, 0)
+        T_old = jnp.asarray(old_poses[refs])
+        T_new = jnp.asarray(st.kf_pose[refs])
+        X = jnp.asarray(st.pt_pos[pts])
+        Xc = se3_apply(T_old, X)
+        Xw = se3_apply(se3_inverse(T_new), Xc)
+        st.pt_pos[pts] = np.asarray(Xw)
+        # planes likewise through their reference keyframes
+        pls = np.nonzero(st.pl_valid)[0]
+        if len(pls):
+            from ..geometry.plane import transform_plane
+
+            prefs = st.pl_ref_kf[pls]
+            prefs = np.where((prefs >= 0) & st.kf_valid[np.maximum(prefs, 0)], prefs, 0)
+            T_old = jnp.asarray(old_poses[prefs])
+            T_new = jnp.asarray(st.kf_pose[prefs])
+            pi_c = transform_plane(T_old, jnp.asarray(st.pl_coef[pls]))
+            pi_w = transform_plane(se3_inverse(T_new), pi_c)
+            st.pl_coef[pls] = np.asarray(pi_w)
+        st.version += 1

@@ -433,6 +433,68 @@ def bundle_adjust(
     )
 
 
+@partial(jax.jit, static_argnames=("intr", "n_iters"))
+def refine_alternating(
+    poses, pose_fixed, points, point_valid,
+    obs_cam, obs_pt, obs_uv, obs_ur, obs_inv_sigma2, obs_valid,
+    intr: Intrinsics,
+    n_iters: int = 8,
+):
+    """Alternating resection-intersection bundle refinement.
+
+    Used as the post-loop-closure global settle (the reference runs a full
+    GlobalBundleAdjustment after CorrectLoop — SURVEY §3.3).  Instead of the
+    O(P*OMAX^2) Schur pair terms of the full Newton step, each iteration
+    does (a) all per-point 3x3 GN solves with poses fixed, then (b) all
+    per-pose 6x6 GN solves with points fixed — both are batched segment-sum
+    + batched small solves, memory-light and fully parallel on the VPU.
+    Converges linearly but is only used to settle an already-good PGO
+    result.  Returns (poses, points).
+    """
+    M = poses.shape[0]
+    P = points.shape[0]
+    free = (~pose_fixed).astype(poses.dtype)
+
+    def step(_, carry):
+        poses, points = carry
+        # ---- intersection: update points, poses fixed -------------------
+        e, J_c, J_p, chi2 = point_obs_residuals(
+            poses, points, obs_cam, obs_pt, obs_uv, obs_ur, obs_inv_sigma2, intr
+        )
+        delta2 = jnp.where(obs_ur >= 0, CHI2_3D, CHI2_2D)
+        # gate wild residuals (points behind/near the camera plane) entirely;
+        # this loop is a settle step, not a rescue mission
+        sane = (chi2 < 1e4) & jnp.isfinite(chi2)
+        w = obs_inv_sigma2 * huber_weight(chi2, delta2) * obs_valid * sane
+        JpW = J_p * w[:, None, None]
+        Hpp = jnp.zeros((P, 3, 3)).at[obs_pt].add(jnp.einsum("rai,raj->rij", JpW, J_p))
+        bp = jnp.zeros((P, 3)).at[obs_pt].add(-jnp.einsum("rai,ra->ri", JpW, e))
+        # Marquardt damping: relative to the diagonal scale, so near-singular
+        # blocks (depth-unconstrained points) stay solvable in float32
+        diag_p = jnp.einsum("pii->p", Hpp) / 3.0
+        Hpp = Hpp + (0.05 * diag_p[:, None, None] + 1e-3) * jnp.eye(3)
+        dp = jnp.linalg.solve(Hpp, bp[..., None])[..., 0]
+        dp = jnp.clip(dp, -0.5, 0.5)  # trust region
+        points = points + dp * point_valid[:, None]
+        # ---- resection: update poses, points fixed ----------------------
+        e, J_c, J_p, chi2 = point_obs_residuals(
+            poses, points, obs_cam, obs_pt, obs_uv, obs_ur, obs_inv_sigma2, intr
+        )
+        sane = (chi2 < 1e4) & jnp.isfinite(chi2)
+        w = obs_inv_sigma2 * huber_weight(chi2, delta2) * obs_valid * sane
+        JcW = J_c * w[:, None, None]
+        Hcc = jnp.zeros((M, 6, 6)).at[obs_cam].add(jnp.einsum("rai,raj->rij", JcW, J_c))
+        bc = jnp.zeros((M, 6)).at[obs_cam].add(-jnp.einsum("rai,ra->ri", JcW, e))
+        diag_c = jnp.einsum("mii->m", Hcc) / 6.0
+        Hcc = Hcc + (0.05 * diag_c[:, None, None] + 1e-3) * jnp.eye(6)
+        dx = jnp.linalg.solve(Hcc, bc[..., None])[..., 0] * free[:, None]
+        dx = jnp.clip(dx, -0.2, 0.2)
+        poses = jax.vmap(se3_retract)(poses, dx)
+        return poses, points
+
+    return jax.lax.fori_loop(0, n_iters, step, (poses, points))
+
+
 def build_point_obs_table(obs_pt: jnp.ndarray, n_points: int, omax: int) -> jnp.ndarray:
     """Host-side helper: per-point observation index table [P, OMAX].
 

@@ -33,8 +33,10 @@ class SystemConfig:
     mapper: MapperConfig = field(default_factory=MapperConfig)
     map: MapConfig = field(default_factory=MapConfig)
     use_planes: bool = False
+    use_loop: bool = False
     local_ba: bool = True
     localization_only: bool = False
+    vocab_path: str | None = None  # pretrained vocabulary (else lazy-trained)
 
 
 class System:
@@ -48,7 +50,27 @@ class System:
             from .mapping.plane_mapper import PlaneMapper
 
             self.plane_mapper = PlaneMapper(cfg.intr, self.store)
+        self.loop_closer = None
+        if cfg.use_loop:
+            import os
+
+            from .loop.loop_closer import LoopCloser
+            from .loop.vocab import Vocabulary
+
+            path = cfg.vocab_path
+            if path is None:
+                default = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "data", "vocab_synth.npz",
+                )
+                path = default if os.path.exists(default) else None
+            vocab = Vocabulary(n_words=4096)
+            if path:
+                vocab.load(path)
+            self.loop_closer = LoopCloser(cfg.intr, self.store, vocab)
+            self.tracker.relocalizer = (self.loop_closer.vocab, self.loop_closer.kfdb)
         self.trajectory: list[tuple[float, np.ndarray]] = []
+        self._rel_trajectory: list[tuple[float, int, np.ndarray]] = []
         self._last_kf_count = 0
 
     # -----------------------------------------------------------------
@@ -58,6 +80,21 @@ class System:
         Returns (T_cw [7], state).
         """
         T, state = self.tracker.process(gray, depth, ts)
+        # store the frame pose RELATIVE to its reference keyframe (the
+        # reference's SaveTrajectoryTUM convention): loop/BA corrections to
+        # keyframes then retroactively fix the whole trajectory
+        ref = self.tracker.ref_kf if state == TrackState.OK else -1
+        if ref >= 0:
+            import jax.numpy as jnp
+
+            from .geometry.lie import se3_compose, se3_inverse
+
+            T_rel = np.asarray(
+                se3_compose(jnp.asarray(T), se3_inverse(jnp.asarray(self.store.kf_pose[ref])))
+            )
+        else:
+            T_rel = T
+        self._rel_trajectory.append((ts, int(ref), T_rel))
         self.trajectory.append((ts, T))
         new_kf = self.tracker.last_kf
         if self.store.n_kf != self._last_kf_count and not self.cfg.localization_only:
@@ -65,11 +102,33 @@ class System:
             if self.plane_mapper is not None and state == TrackState.OK:
                 self.plane_mapper.process_keyframe(new_kf, gray, depth)
             self.mapper.process_keyframe(new_kf, run_ba=self.cfg.local_ba)
+            if self.loop_closer is not None:
+                closed = self.loop_closer.process_keyframe(new_kf)
+                if closed:
+                    # realign the tracker with the corrected map
+                    self.tracker.T_cw = self.store.kf_pose[new_kf].copy()
+                    self.tracker.velocity = None
+                    T = self.tracker.T_cw.copy()
+                    self.trajectory[-1] = (ts, T)
         return T, state
 
     # -----------------------------------------------------------------
     def poses(self) -> np.ndarray:
-        return np.stack([T for _, T in self.trajectory])
+        """Per-frame T_cw reconstructed through CURRENT keyframe poses, so
+        loop-closure / BA corrections apply to the whole trajectory."""
+        import jax.numpy as jnp
+
+        from .geometry.lie import se3_compose
+
+        out = []
+        for (ts, ref, T_rel), (_, T_abs) in zip(self._rel_trajectory, self.trajectory):
+            if ref >= 0 and self.store.kf_valid[ref]:
+                out.append(
+                    np.asarray(se3_compose(jnp.asarray(T_rel), jnp.asarray(self.store.kf_pose[ref])))
+                )
+            else:
+                out.append(T_abs)
+        return np.stack(out)
 
     def save_trajectory_tum(self, path: str):
         """TUM format: ts tx ty tz qx qy qz qw, camera-to-world."""
@@ -77,8 +136,9 @@ class System:
 
         from .geometry.lie import se3_inverse
 
+        poses = self.poses()
         with open(path, "w") as f:
-            for ts, T_cw in self.trajectory:
+            for (ts, _), T_cw in zip(self.trajectory, poses):
                 T_wc = np.asarray(se3_inverse(jnp.asarray(T_cw)))
                 qw, qx, qy, qz, tx, ty, tz = T_wc
                 f.write(f"{ts:.6f} {tx:.6f} {ty:.6f} {tz:.6f} {qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}\n")

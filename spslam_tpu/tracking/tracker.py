@@ -162,6 +162,11 @@ class Tracker:
         # last-frame cache for temporal matching
         self._last_point_ids: Optional[np.ndarray] = None  # [PL] map point ids
         self.metrics = []
+        # optional relocalization hook (set by System when loop closing is
+        # on: provides the BoW keyframe database — reference: Tracking::
+        # Relocalization via KeyFrameDatabase + PnPsolver, SURVEY §2 #13/#15)
+        self.relocalizer = None
+        self._reloc_key = None
 
     # -----------------------------------------------------------------
     def process(self, gray: np.ndarray, depth: np.ndarray, ts: float):
@@ -199,8 +204,11 @@ class Tracker:
         pts = st.local_points(kfs)
         cap = self.cfg.local_points_cap
         if len(pts) > cap:
-            # keep the most-observed points
-            order = np.argsort(-st.pt_n_obs[pts], kind="stable")
+            # keep points seen by the NEWEST keyframes first: fresh points
+            # must stay matchable (else they starve and get culled as the
+            # view moves into new territory), old stable points fill the rest
+            newest_obs = st.pt_obs_kf[pts].max(axis=1)
+            order = np.argsort(-(newest_obs.astype(np.int64) * 64 + np.minimum(st.pt_n_obs[pts], 63)), kind="stable")
             pts = pts[order[:cap]]
         pad = cap - len(pts)
         ids = np.concatenate([pts, np.full(pad, -1, np.int32)])
@@ -245,13 +253,17 @@ class Tracker:
                 res.valid, self.intr,
             )
             if int(opt_fb.n_inliers) < cfg.kf_min_inliers:
-                self.state = TrackState.LOST
-                self.velocity = None
-                self.metrics.append(
-                    dict(frame=self.frame_id, state="LOST", inliers=0)
-                )
-                return
-            T_cur = opt_fb.T_cw
+                T_reloc = self._relocalize(frame)
+                if T_reloc is None:
+                    self.state = TrackState.LOST
+                    self.velocity = None
+                    self.metrics.append(
+                        dict(frame=self.frame_id, state="LOST", inliers=0)
+                    )
+                    return
+                T_cur = jnp.asarray(T_reloc)
+            else:
+                T_cur = opt_fb.T_cw
 
         # --- step 2: track local map (tight radius) -----------------------
         opt2, match_idx, matched = _match_and_optimize(
@@ -322,6 +334,63 @@ class Tracker:
         )
 
     # -----------------------------------------------------------------
+    def _relocalize(self, frame: FrameData):
+        """Global relocalization against the keyframe database.
+
+        Reference: Tracking::Relocalization — BoW candidate retrieval then
+        EPnP+RANSAC pose hypotheses (PnPsolver.cc).  RGB-D both sides have
+        depth, so 3D-3D Horn RANSAC (loop/sim3.py) replaces EPnP with the
+        same role.  Returns T_cw or None.
+        """
+        if self.relocalizer is None:
+            return None
+        import jax
+
+        from ..geometry.camera import unproject
+        from ..loop.sim3 import ransac_align
+
+        vocab, kfdb = self.relocalizer
+        if not vocab.trained:
+            return None
+        st = self.store
+        frame_np_desc = np.asarray(frame.desc)
+        valid = np.asarray(frame.valid)
+        bow = vocab.bow_vector(frame_np_desc[valid])
+        cands = kfdb.query(bow, exclude=set(), min_score=0.01, max_results=5)
+        if self._reloc_key is None:
+            self._reloc_key = jax.random.PRNGKey(23)
+        for cand, _score in cands:
+            if not st.kf_valid[cand]:
+                continue
+            bits_b = unpack_bits(jnp.asarray(st.kf_desc[cand]))
+            valid_b = jnp.asarray(st.kf_kp_valid[cand] & (st.kf_depth[cand] > 1e-3))
+            res = match_descriptors(
+                frame.bits, bits_b, frame.valid & frame.has_depth, valid_b,
+                frame.angle, jnp.asarray(st.kf_angle[cand]),
+                max_dist=64.0, ratio=0.85,
+            )
+            m = np.asarray(res.valid)
+            if m.sum() < 20:
+                continue
+            idx = np.maximum(np.asarray(res.idx), 0)
+            pb = unproject(
+                self.intr,
+                jnp.asarray(st.kf_uv[cand][idx]),
+                jnp.asarray(st.kf_depth[cand][idx]),
+            )
+            self._reloc_key, sub = jax.random.split(self._reloc_key)
+            align = ransac_align(frame.xyz_cam, pb, jnp.asarray(m), sub)
+            if int(align.n_inliers) < 20:
+                continue
+            # x_cand = T_ba x_frame  =>  T_cw_frame = T_ba^{-1} . T_cw_cand
+            T_cw = se3_compose(
+                se3_inverse(align.T_ba), jnp.asarray(st.kf_pose[cand])
+            )
+            self.ref_kf = int(cand)
+            self.metrics.append(dict(frame=self.frame_id, state="RELOC", cand=int(cand)))
+            return np.asarray(T_cw)
+        return None
+
     def _frame_to_np(self, frame: FrameData) -> dict:
         return dict(
             uv=np.asarray(frame.uv),
