@@ -245,10 +245,10 @@ class LoopCloser:
         valid_ids = np.nonzero(st.kf_valid[: st.n_kf])[0]
         ei, ej, eT, ew = [], [], [], []
 
+        from ..geometry import np_lie
+
         def rel(i, j):
-            return np.asarray(
-                se3_compose(jnp.asarray(st.kf_pose[i]), se3_inverse(jnp.asarray(st.kf_pose[j])))
-            )
+            return np_lie.se3_compose(st.kf_pose[i], np_lie.se3_inverse(st.kf_pose[j]))
 
         # sequential (spanning-tree-like) edges between consecutive valid KFs
         for a, b in zip(valid_ids[:-1], valid_ids[1:]):

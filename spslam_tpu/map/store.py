@@ -154,6 +154,48 @@ class MapStore:
         self.version += 1
         return p
 
+    def add_points_bulk(self, pos, desc, normal, dist, ref_kf: int, slots) -> np.ndarray:
+        """Vectorized creation of n new points observed by (ref_kf, slots).
+
+        Returns the new point ids.  Equivalent to n x (add_point +
+        add_observation) without per-point Python overhead.
+        """
+        n = len(pos)
+        p0 = self.n_pt
+        assert p0 + n <= self.cfg.max_points, "map point capacity exceeded"
+        ids = np.arange(p0, p0 + n, dtype=np.int32)
+        self.pt_pos[ids] = pos
+        self.pt_desc[ids] = desc
+        self.pt_normal[ids] = normal
+        self.pt_min_dist[ids] = dist / 1.2 ** 8
+        self.pt_max_dist[ids] = dist * 1.2 ** 2
+        self.pt_ref_kf[ids] = ref_kf
+        self.pt_first_kf[ids] = ref_kf
+        self.pt_valid[ids] = True
+        self.pt_n_obs[ids] = 1
+        self.pt_visible[ids] = 1
+        self.pt_found[ids] = 1
+        self.pt_obs_kf[ids, 0] = ref_kf
+        self.pt_obs_slot[ids, 0] = slots
+        self.kf_obs[ref_kf, slots] = ids
+        self.n_pt += n
+        self.version += 1
+        return ids
+
+    def add_observations_bulk(self, pids, kf: int, slots):
+        """Vectorized add_observation for multiple points into one keyframe
+        (skips slot conflicts and full observation lists)."""
+        pids = np.asarray(pids)
+        slots = np.asarray(slots)
+        ok = (self.kf_obs[kf, slots] < 0) & (self.pt_n_obs[pids] < self.cfg.max_obs_per_point)
+        pids, slots = pids[ok], slots[ok]
+        c = self.pt_n_obs[pids]
+        self.pt_obs_kf[pids, c] = kf
+        self.pt_obs_slot[pids, c] = slots
+        self.pt_n_obs[pids] = c + 1
+        self.kf_obs[kf, slots] = pids
+        self.version += 1
+
     def add_observation(self, p: int, kf: int, slot: int):
         if self.kf_obs[kf, slot] >= 0:
             return  # slot taken
@@ -329,10 +371,6 @@ class MapStore:
             self.pt_min_dist[p] = self.pt_max_dist[p] / 1.2 ** 8
 
     def _camera_centers(self, kf_ids: np.ndarray) -> np.ndarray:
-        import jax.numpy as jnp
+        from ..geometry.np_lie import camera_center
 
-        from ..geometry.lie import quat_to_mat
-
-        T = self.kf_pose[kf_ids]
-        R = np.asarray(quat_to_mat(jnp.array(T[:, :4])))
-        return -np.einsum("fij,fi->fj", R, T[:, 4:7])
+        return camera_center(self.kf_pose[kf_ids])

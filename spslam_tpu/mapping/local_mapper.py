@@ -26,17 +26,19 @@ from ..solver.robust import octave_inv_sigma2
 
 @dataclass(frozen=True)
 class MapperConfig:
-    ba_max_poses: int = 32        # free + fixed keyframes in the window
-    ba_max_free: int = 20
-    ba_max_points: int = 8192
-    ba_max_obs: int = 24576
-    ba_obs_per_point: int = 8
+    ba_max_poses: int = 24        # free + fixed keyframes in the window
+    ba_max_free: int = 16
+    ba_max_points: int = 4096
+    ba_max_obs: int = 16384
+    ba_obs_per_point: int = 6
     ba_max_planes: int = 16
     ba_max_plane_obs: int = 64
     ba_max_pp_edges: int = 32
     cull_found_ratio: float = 0.25
     cull_min_obs: int = 3
     kf_cull_redundancy: float = 0.9
+    ba_every: int = 2             # run local BA every N keyframes (the
+                                  # reference aborts BA when KFs queue up)
 
 
 class LocalMapper:
@@ -53,7 +55,8 @@ class LocalMapper:
 
     def process_keyframe(self, kf: int, run_ba: bool = True):
         self.cull_points(kf)
-        if run_ba and self.store.n_kf >= 3:
+        due = self.store.n_kf <= 5 or (self.store.n_kf % self.cfg.ba_every == 0)
+        if run_ba and self.store.n_kf >= 3 and due:
             self.local_ba(kf)
         self.cull_keyframes(kf)
 
@@ -128,35 +131,37 @@ class LocalMapper:
         point_valid = np.zeros(P, bool)
         point_valid[: len(pts)] = True
 
+        # --- vectorized observation extraction from the per-point tables ---
+        kf_to_idx = np.full(st.cfg.max_keyframes, -1, np.int32)
+        kf_to_idx[kf_ids] = np.arange(len(kf_ids), dtype=np.int32)
+        kf_arr = st.pt_obs_kf[pts]                 # [Np, O_store]
+        slot_arr = st.pt_obs_slot[pts]
+        in_win = (kf_arr >= 0) & (kf_to_idx[np.maximum(kf_arr, 0)] >= 0) & (slot_arr >= 0)
+        # cap observations per point at O (keep the first O)
+        cum = np.cumsum(in_win, axis=1)
+        keep = in_win & (cum <= O)
+        rows, cols = np.nonzero(keep)              # row-major ordered
+        rows = rows[:R]
+        cols = cols[:R]
+        n_obs_used = len(rows)
+        k_sel = kf_arr[rows, cols]
+        s_sel = slot_arr[rows, cols]
+
         obs_cam = np.zeros(R, np.int32)
         obs_pt = np.zeros(R, np.int32)
         obs_uv = np.zeros((R, 2), np.float32)
         obs_ur = np.full(R, -1.0, np.float32)
         obs_oct = np.zeros(R, np.int32)
         obs_valid = np.zeros(R, bool)
+        obs_cam[:n_obs_used] = kf_to_idx[k_sel]
+        obs_pt[:n_obs_used] = rows
+        obs_uv[:n_obs_used] = st.kf_uv[k_sel, s_sel]
+        obs_ur[:n_obs_used] = st.kf_ur[k_sel, s_sel]
+        obs_oct[:n_obs_used] = st.kf_octave[k_sel, s_sel]
+        obs_valid[:n_obs_used] = True
         pt_obs = np.full((P, O), -1, np.int32)
-        obs_src = []  # (point_id, kf_id, slot) for writeback
-        r = 0
-        for pi, p in enumerate(pts):
-            n = st.pt_n_obs[p]
-            cnt = 0
-            for j in range(n):
-                if r >= R or cnt >= O:
-                    break
-                k = st.pt_obs_kf[p, j]
-                if k < 0 or int(k) not in kf_index:
-                    continue
-                slot = st.pt_obs_slot[p, j]
-                obs_cam[r] = kf_index[int(k)]
-                obs_pt[r] = pi
-                obs_uv[r] = st.kf_uv[k, slot]
-                obs_ur[r] = st.kf_ur[k, slot]
-                obs_oct[r] = st.kf_octave[k, slot]
-                obs_valid[r] = True
-                pt_obs[pi, cnt] = r
-                obs_src.append((int(p), int(k), int(slot)))
-                cnt += 1
-                r += 1
+        pt_obs[rows, cum[rows, cols] - 1] = np.arange(n_obs_used, dtype=np.int32)
+        obs_src = (pts[rows], k_sel, s_sel)        # for outlier writeback
 
         L, Q, E = cfg.ba_max_planes, cfg.ba_max_plane_obs, cfg.ba_max_pp_edges
         planes = np.zeros((L, 4), np.float32)
@@ -249,11 +254,14 @@ class LocalMapper:
         new_planes = np.asarray(res.planes)
         for li, l in enumerate(plane_src):
             st.pl_coef[l] = new_planes[li]
-        # remove outlier observations
+        # remove outlier observations (loop only over the few outliers)
         inl = np.asarray(res.obs_inlier)
-        for ri, (p, k, slot) in enumerate(obs_src):
-            if not inl[ri] and st.pt_valid[p]:
-                st.remove_observation(p, k)
+        src_p, src_k, src_s = obs_src
+        bad = np.nonzero(~inl[: len(src_p)])[0]
+        for ri in bad:
+            p = int(src_p[ri])
+            if st.pt_valid[p]:
+                st.remove_observation(p, int(src_k[ri]))
         st.version += 1
 
     # -----------------------------------------------------------------

@@ -85,13 +85,9 @@ class System:
         # keyframes then retroactively fix the whole trajectory
         ref = self.tracker.ref_kf if state == TrackState.OK else -1
         if ref >= 0:
-            import jax.numpy as jnp
+            from .geometry import np_lie
 
-            from .geometry.lie import se3_compose, se3_inverse
-
-            T_rel = np.asarray(
-                se3_compose(jnp.asarray(T), se3_inverse(jnp.asarray(self.store.kf_pose[ref])))
-            )
+            T_rel = np_lie.se3_compose(T, np_lie.se3_inverse(self.store.kf_pose[ref]))
         else:
             T_rel = T
         self._rel_trajectory.append((ts, int(ref), T_rel))
@@ -116,16 +112,12 @@ class System:
     def poses(self) -> np.ndarray:
         """Per-frame T_cw reconstructed through CURRENT keyframe poses, so
         loop-closure / BA corrections apply to the whole trajectory."""
-        import jax.numpy as jnp
-
-        from .geometry.lie import se3_compose
+        from .geometry import np_lie
 
         out = []
         for (ts, ref, T_rel), (_, T_abs) in zip(self._rel_trajectory, self.trajectory):
             if ref >= 0 and self.store.kf_valid[ref]:
-                out.append(
-                    np.asarray(se3_compose(jnp.asarray(T_rel), jnp.asarray(self.store.kf_pose[ref])))
-                )
+                out.append(np_lie.se3_compose(T_rel, self.store.kf_pose[ref]))
             else:
                 out.append(T_abs)
         return np.stack(out)

@@ -27,14 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry.camera import Intrinsics, in_image
-from ..geometry.lie import (
-    quat_rotate,
-    se3_apply,
-    se3_compose,
-    se3_inverse,
-    se3_q,
-    se3_t,
-)
+from ..geometry.lie import quat_rotate, se3_q, se3_t
+from ..geometry import np_lie
 from ..frontend.frame import FrameData, build_frame
 from ..map.store import MapStore
 from ..ops.brief import unpack_bits
@@ -64,7 +58,9 @@ class TrackerConfig:
     min_inliers_motion: int = 20
     min_inliers_track: int = 30
     kf_max_interval: int = 30
-    kf_tracked_ratio: float = 0.9
+    kf_min_interval: int = 1     # KFs are cheap; BA frequency is throttled in
+                                 # the mapper instead (reference: mbAbortBA)
+    kf_tracked_ratio: float = 0.75   # reference thRefRatio for RGB-D
     kf_min_inliers: int = 15
     new_kf_close_points: int = 100
     max_new_points_per_kf: int = 360
@@ -189,7 +185,11 @@ class Tracker:
         if n_depth < 100:
             return  # wait for a frame with enough depth
         self.T_cw = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
-        kf = self._insert_keyframe(frame, ts, matches_pt_ids=None, match_kp_idx=None)
+        # reference StereoInitialization: a map point for EVERY depth-backed
+        # keypoint, not just the close-point budget
+        kf = self._insert_keyframe(
+            frame, ts, matches_pt_ids=None, match_kp_idx=None, unlimited=True
+        )
         self.ref_kf = kf
         self.last_kf = kf
         self.state = TrackState.OK
@@ -198,7 +198,21 @@ class Tracker:
 
     # -----------------------------------------------------------------
     def _local_snapshot(self):
-        """Padded device snapshot of the local map around ref_kf."""
+        """Padded device snapshot of the local map around ref_kf.
+
+        Cached between frames: the map only changes at keyframe insertion /
+        mapping events (store.version), so the device upload is skipped on
+        ordinary frames."""
+        st = self.store
+        key = (st.version, self.ref_kf)
+        cached = getattr(self, "_snapshot_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        snap = self._local_snapshot_build()
+        self._snapshot_cache = (key, snap)
+        return snap
+
+    def _local_snapshot_build(self):
         st = self.store
         kfs = st.local_keyframes(self.ref_kf, min_weight=5)
         pts = st.local_points(kfs)
@@ -227,14 +241,16 @@ class Tracker:
 
         # --- step 1: motion model (or last pose) coarse alignment ---------
         if self.velocity is not None:
-            T_pred = np.asarray(
-                se3_compose(jnp.asarray(self.velocity), jnp.asarray(self.T_cw))
-            )
+            T_pred = np_lie.se3_compose(self.velocity, self.T_cw)
+            radius1 = cfg.motion_search_radius
         else:
+            # no motion prior: double the window (covers fast inter-frame
+            # motion right after init / relocalization)
             T_pred = self.T_cw
+            radius1 = 2.0 * cfg.motion_search_radius
         opt, _, _ = _match_and_optimize(
             jnp.asarray(T_pred), pos, normal, mind, maxd, bits, valid,
-            frame, cfg.motion_search_radius, TH_HIGH, self.intr,
+            frame, radius1, TH_HIGH, self.intr,
         )
         n1 = int(opt.n_inliers)
         if n1 >= cfg.min_inliers_motion:
@@ -279,9 +295,7 @@ class Tracker:
 
         T_new = np.asarray(opt2.T_cw)
         # velocity update (T_new * T_last^-1)
-        self.velocity = np.asarray(
-            se3_compose(jnp.asarray(T_new), se3_inverse(jnp.asarray(self.T_cw)))
-        )
+        self.velocity = np_lie.se3_compose(T_new, np_lie.se3_inverse(self.T_cw))
         self.T_cw = T_new
         self.state = TrackState.OK
         self.frames_since_kf += 1
@@ -310,14 +324,20 @@ class Tracker:
                 & frame_np["valid"]
             )
         )
-        ref_tracked = max(int(np.sum(self.store.kf_obs[self.ref_kf] >= 0)), 1)
-        need_kf = (
-            self.frames_since_kf >= cfg.kf_max_interval
-            or (n2 < cfg.kf_tracked_ratio * ref_tracked and n2 > cfg.kf_min_inliers)
-            or (
-                n_close_tracked < cfg.new_kf_close_points
-                and close_avail - n_close_tracked > 70
-            )
+        # reference NeedNewKeyFrame semantics: compare against the ref KF's
+        # WELL-OBSERVED points (>=3 obs), not all bound slots
+        ref_pts = self.store.kf_obs[self.ref_kf]
+        ref_pts = ref_pts[ref_pts >= 0]
+        ref_tracked = max(int(np.sum(self.store.pt_n_obs[ref_pts] >= 3)), 15)
+        need_close = (
+            n_close_tracked < cfg.new_kf_close_points
+            and close_avail - n_close_tracked > 70
+        )
+        weak = n2 < 0.25 * ref_tracked
+        need_kf = self.frames_since_kf >= cfg.kf_max_interval or (
+            (n2 < cfg.kf_tracked_ratio * ref_tracked or need_close)
+            and n2 > cfg.kf_min_inliers
+            and (self.frames_since_kf >= cfg.kf_min_interval or weak)
         )
         if need_kf:
             kf = self._insert_keyframe(
@@ -383,28 +403,26 @@ class Tracker:
             if int(align.n_inliers) < 20:
                 continue
             # x_cand = T_ba x_frame  =>  T_cw_frame = T_ba^{-1} . T_cw_cand
-            T_cw = se3_compose(
-                se3_inverse(align.T_ba), jnp.asarray(st.kf_pose[cand])
+            T_cw = np_lie.se3_compose(
+                np_lie.se3_inverse(np.asarray(align.T_ba)), st.kf_pose[cand]
             )
             self.ref_kf = int(cand)
             self.metrics.append(dict(frame=self.frame_id, state="RELOC", cand=int(cand)))
-            return np.asarray(T_cw)
+            return T_cw
         return None
 
     def _frame_to_np(self, frame: FrameData) -> dict:
-        return dict(
-            uv=np.asarray(frame.uv),
-            octave=np.asarray(frame.octave),
-            angle=np.asarray(frame.angle),
-            desc=np.asarray(frame.desc),
-            depth=np.asarray(frame.depth),
-            u_right=np.asarray(frame.u_right),
-            valid=np.asarray(frame.valid),
-            xyz_cam=np.asarray(frame.xyz_cam),
+        # single batched device->host transfer for the whole frame bundle
+        uv, octave, angle, desc, depth, ur, valid, xyz = jax.device_get(
+            (frame.uv, frame.octave, frame.angle, frame.desc, frame.depth,
+             frame.u_right, frame.valid, frame.xyz_cam)
         )
+        return dict(uv=uv, octave=octave, angle=angle, desc=desc, depth=depth,
+                    u_right=ur, valid=valid, xyz_cam=xyz)
 
     def _insert_keyframe(
-        self, frame: FrameData, ts, matches_pt_ids, match_kp_idx, frame_np=None
+        self, frame: FrameData, ts, matches_pt_ids, match_kp_idx, frame_np=None,
+        unlimited: bool = False,
     ) -> int:
         """Create a keyframe: bind tracked points to kp slots, then create new
         map points from close-depth unmatched keypoints (reference:
@@ -415,31 +433,31 @@ class Tracker:
 
         taken = np.zeros(self.cfg.n_features, bool)
         if matches_pt_ids is not None:
-            for pid, kp in zip(matches_pt_ids, match_kp_idx):
-                if pid >= 0 and kp >= 0 and not taken[kp]:
-                    st.add_observation(int(pid), kf, int(kp))
-                    taken[kp] = True
+            sel = (matches_pt_ids >= 0) & (match_kp_idx >= 0)
+            kps = match_kp_idx[sel]
+            pids = matches_pt_ids[sel]
+            uniq, first = np.unique(kps, return_index=True)
+            st.add_observations_bulk(pids[first], kf, uniq)
+            taken[uniq] = True
 
         # new points from depth-backed unmatched keypoints, nearest first
+        # (reference CreateNewKeyFrame: all close points + up to a budget of
+        # far ones) — fully vectorized
         d = frame_np["depth"]
         cand = np.nonzero(
             frame_np["valid"] & ~taken & (d > 1e-3) & (d < self.cfg.th_depth * 2)
         )[0]
         order = cand[np.argsort(d[cand], kind="stable")]
-        T_wc = se3_inverse(jnp.asarray(self.T_cw))
-        xyz_cam = frame_np["xyz_cam"]
-        # one batched device call for all candidate unprojections
-        pos_w_all = np.asarray(se3_apply(T_wc, jnp.asarray(xyz_cam[order])))
-        C = np.asarray(se3_t(T_wc))
-        created = 0
-        for i, kp in enumerate(order):
-            if created >= self.cfg.max_new_points_per_kf and d[kp] > self.cfg.th_depth:
-                break
-            pos_w = pos_w_all[i]
-            normal = pos_w - C
-            nn = np.linalg.norm(normal)
-            normal = normal / max(nn, 1e-9)
-            pid = st.add_point(pos_w, frame_np["desc"][kp], normal, kf, float(nn))
-            st.add_observation(pid, kf, int(kp))
-            created += 1
+        if not unlimited:
+            n_close = int(np.sum(d[order] <= self.cfg.th_depth))
+            n_keep = max(n_close, min(len(order), self.cfg.max_new_points_per_kf))
+            order = order[:n_keep]
+        if len(order):
+            T_wc = np_lie.se3_inverse(self.T_cw)
+            pos_w = np_lie.se3_apply(T_wc, frame_np["xyz_cam"][order])
+            C = T_wc[4:7]
+            vec = pos_w - C
+            dist = np.linalg.norm(vec, axis=-1)
+            normal = vec / np.maximum(dist[:, None], 1e-9)
+            st.add_points_bulk(pos_w, frame_np["desc"][order], normal, dist, kf, order)
         return kf
