@@ -89,7 +89,8 @@ class LoopCloser:
         min_score = 0.015
         covis_scores = [
             s for s in (
-                bow_similarity(bow, self.kfdb.bow.get(int(c), {})) for c in covis[:10]
+                bow_similarity(bow, self.kfdb.bow.get(int(c), {}))
+                for c in covis[:10]
             ) if s > 0
         ]
         if covis_scores:
@@ -196,9 +197,10 @@ class LoopCloser:
             jnp.asarray(pad_to(np.ones(len(oc), np.float32), R)),
             self.intr, n_iters=n_iters,
         )
-        st.kf_pose[st.kf_valid] = np.asarray(new_poses)[st.kf_valid]
-        st.pt_pos[pts] = np.asarray(new_points)[: len(pts)]
-        st.version += 1
+        with st.lock:
+            st.kf_pose[st.kf_valid] = np.asarray(new_poses)[st.kf_valid]
+            st.pt_pos[pts] = np.asarray(new_points)[: len(pts)]
+            st.version += 1
 
     def _geometric_check(self, kf: int, cand: int):
         """MXU descriptor match + 3D-3D RANSAC between two keyframes."""
@@ -282,8 +284,9 @@ class LoopCloser:
             edge_valid=jnp.ones(E, bool),
         )
         new_poses = np.asarray(optimize_pose_graph(prob, n_iters=self.cfg.pose_graph_iters))
-        st.kf_pose[st.kf_valid] = new_poses[st.kf_valid]
-        st.version += 1
+        with st.lock:
+            st.kf_pose[st.kf_valid] = new_poses[st.kf_valid]
+            st.version += 1
 
     def _correct_points(self, old_poses: np.ndarray):
         """Transform each map point through its reference keyframe's pose
@@ -299,7 +302,8 @@ class LoopCloser:
         X = jnp.asarray(st.pt_pos[pts])
         Xc = se3_apply(T_old, X)
         Xw = se3_apply(se3_inverse(T_new), Xc)
-        st.pt_pos[pts] = np.asarray(Xw)
+        with st.lock:
+            st.pt_pos[pts] = np.asarray(Xw)
         # planes likewise through their reference keyframes
         pls = np.nonzero(st.pl_valid)[0]
         if len(pls):

@@ -34,7 +34,12 @@ class MapConfig:
 
 class MapStore:
     def __init__(self, cfg: MapConfig):
+        import threading
+
         self.cfg = cfg
+        # guards short host-side mutation sections in async-pipeline mode
+        # (the reference's Map::mMutexMapUpdate, massively narrowed)
+        self.lock = threading.RLock()
         K, P, L, N, O = (
             cfg.max_keyframes,
             cfg.max_points,
@@ -311,16 +316,27 @@ class MapStore:
 
     def covisibility(self, k: int, min_weight: int = 15) -> np.ndarray:
         """KF ids sharing >= min_weight map points with KF k, ordered by
-        weight descending (the reference's covisibility graph edges)."""
-        pts = self.kf_obs[k]
-        pts = pts[pts >= 0]
-        if len(pts) == 0:
-            return np.zeros(0, np.int32)
-        obs_kfs = self.pt_obs_kf[pts].ravel()
-        obs_kfs = obs_kfs[(obs_kfs >= 0) & (obs_kfs != k)]
-        if len(obs_kfs) == 0:
-            return np.zeros(0, np.int32)
-        counts = np.bincount(obs_kfs, minlength=self.cfg.max_keyframes)
+        weight descending (the reference's covisibility graph edges).
+        Uses the native C++ counter when available (native/src/covis.cc)."""
+        counts = None
+        try:
+            from ..native.bindings import covis_count
+
+            counts = covis_count(
+                self.kf_obs[k], self.pt_obs_kf, k, self.cfg.max_keyframes
+            )
+        except Exception:
+            counts = None
+        if counts is None:
+            pts = self.kf_obs[k]
+            pts = pts[pts >= 0]
+            if len(pts) == 0:
+                return np.zeros(0, np.int32)
+            obs_kfs = self.pt_obs_kf[pts].ravel()
+            obs_kfs = obs_kfs[(obs_kfs >= 0) & (obs_kfs != k)]
+            if len(obs_kfs) == 0:
+                return np.zeros(0, np.int32)
+            counts = np.bincount(obs_kfs, minlength=self.cfg.max_keyframes)
         ids = np.nonzero((counts >= min_weight) & self.kf_valid)[0]
         order = np.argsort(-counts[ids], kind="stable")
         return ids[order].astype(np.int32)

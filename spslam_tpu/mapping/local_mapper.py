@@ -65,6 +65,7 @@ class LocalMapper:
         """Reference MapPointCulling: drop points with poor found/visible
         ratio or too few observations shortly after creation."""
         st = self.store
+        st.lock.acquire()
         keep = []
         for p, birth in self._recent_points:
             if not st.pt_valid[p]:
@@ -80,6 +81,7 @@ class LocalMapper:
             else:
                 keep.append((p, birth))
         self._recent_points = keep
+        st.lock.release()
 
     # -----------------------------------------------------------------
     def _assemble_window(self, kf: int):
@@ -243,7 +245,8 @@ class LocalMapper:
             pp_valid=jnp.asarray(pp_valid),
         )
         res = bundle_adjust(prob, self.intr)
-        # --- write back ---
+        # --- write back (short critical section) ---
+        self.store.lock.acquire()
         new_poses = np.asarray(res.poses)
         for i, k in enumerate(kf_ids):
             if not fixed_mask[i]:
@@ -263,11 +266,17 @@ class LocalMapper:
             if st.pt_valid[p]:
                 st.remove_observation(p, int(src_k[ri]))
         st.version += 1
+        self.store.lock.release()
 
     # -----------------------------------------------------------------
     def cull_keyframes(self, kf: int):
         """Reference KeyFrameCulling: erase local KFs whose points are >=90%
         covered by >=3 other keyframes."""
+        st = self.store
+        with st.lock:
+            self._cull_keyframes_locked(kf)
+
+    def _cull_keyframes_locked(self, kf: int):
         st = self.store
         for k in st.covisibility(kf, min_weight=5):
             if k == 0 or k == kf or not st.kf_valid[k]:

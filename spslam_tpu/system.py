@@ -34,6 +34,7 @@ class SystemConfig:
     map: MapConfig = field(default_factory=MapConfig)
     use_planes: bool = False
     use_loop: bool = False
+    async_mapping: bool = False   # run mapping/loop on a background thread
     local_ba: bool = True
     localization_only: bool = False
     vocab_path: str | None = None  # pretrained vocabulary (else lazy-trained)
@@ -72,6 +73,11 @@ class System:
         self.trajectory: list[tuple[float, np.ndarray]] = []
         self._rel_trajectory: list[tuple[float, int, np.ndarray]] = []
         self._last_kf_count = 0
+        self.pipeline = None
+        if cfg.async_mapping:
+            from .tracking.pipeline import AsyncMappingPipeline
+
+            self.pipeline = AsyncMappingPipeline(self)
 
     # -----------------------------------------------------------------
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, ts: float):
@@ -95,17 +101,20 @@ class System:
         new_kf = self.tracker.last_kf
         if self.store.n_kf != self._last_kf_count and not self.cfg.localization_only:
             self._last_kf_count = self.store.n_kf
-            if self.plane_mapper is not None and state == TrackState.OK:
-                self.plane_mapper.process_keyframe(new_kf, gray, depth)
-            self.mapper.process_keyframe(new_kf, run_ba=self.cfg.local_ba)
-            if self.loop_closer is not None:
-                closed = self.loop_closer.process_keyframe(new_kf)
-                if closed:
-                    # realign the tracker with the corrected map
-                    self.tracker.T_cw = self.store.kf_pose[new_kf].copy()
-                    self.tracker.velocity = None
-                    T = self.tracker.T_cw.copy()
-                    self.trajectory[-1] = (ts, T)
+            if self.pipeline is not None:
+                self.pipeline.submit(new_kf, gray, depth)
+            else:
+                if self.plane_mapper is not None and state == TrackState.OK:
+                    self.plane_mapper.process_keyframe(new_kf, gray, depth)
+                self.mapper.process_keyframe(new_kf, run_ba=self.cfg.local_ba)
+                if self.loop_closer is not None:
+                    closed = self.loop_closer.process_keyframe(new_kf)
+                    if closed:
+                        # realign the tracker with the corrected map
+                        self.tracker.T_cw = self.store.kf_pose[new_kf].copy()
+                        self.tracker.velocity = None
+                        T = self.tracker.T_cw.copy()
+                        self.trajectory[-1] = (ts, T)
         return T, state
 
     # -----------------------------------------------------------------
@@ -203,4 +212,5 @@ class System:
         self.cfg.localization_only = False
 
     def shutdown(self):
-        pass  # synchronous pipeline: nothing to join yet
+        if self.pipeline is not None:
+            self.pipeline.shutdown()

@@ -208,7 +208,8 @@ class Tracker:
         cached = getattr(self, "_snapshot_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
-        snap = self._local_snapshot_build()
+        with st.lock:
+            snap = self._local_snapshot_build()
         self._snapshot_cache = (key, snap)
         return snap
 
@@ -429,7 +430,8 @@ class Tracker:
         Tracking::CreateNewKeyFrame RGB-D path)."""
         st = self.store
         frame_np = frame_np or self._frame_to_np(frame)
-        kf = st.add_keyframe(self.T_cw, ts, frame_np, self.frame_id)
+        with st.lock:
+            kf = st.add_keyframe(self.T_cw, ts, frame_np, self.frame_id)
 
         taken = np.zeros(self.cfg.n_features, bool)
         if matches_pt_ids is not None:
@@ -437,7 +439,8 @@ class Tracker:
             kps = match_kp_idx[sel]
             pids = matches_pt_ids[sel]
             uniq, first = np.unique(kps, return_index=True)
-            st.add_observations_bulk(pids[first], kf, uniq)
+            with st.lock:
+                st.add_observations_bulk(pids[first], kf, uniq)
             taken[uniq] = True
 
         # new points from depth-backed unmatched keypoints, nearest first
@@ -459,5 +462,6 @@ class Tracker:
             vec = pos_w - C
             dist = np.linalg.norm(vec, axis=-1)
             normal = vec / np.maximum(dist[:, None], 1e-9)
-            st.add_points_bulk(pos_w, frame_np["desc"][order], normal, dist, kf, order)
+            with st.lock:
+                st.add_points_bulk(pos_w, frame_np["desc"][order], normal, dist, kf, order)
         return kf
