@@ -36,12 +36,13 @@ def main():
     print(f"backend={jax.default_backend()} rendering {n_frames} frames...", file=sys.stderr)
     seq = make_sequence(n_frames=n_frames)
 
-    sys_ = System(SystemConfig(intr=seq.intr, local_ba=True))
+    sys_ = System(SystemConfig(intr=seq.intr, local_ba=True, async_mapping=True))
     times = []
     for i, ((gray, depth), ts) in enumerate(zip(seq.frames, seq.timestamps)):
         t0 = time.perf_counter()
         sys_.track_rgbd(gray, depth, ts)
         times.append(time.perf_counter() - t0)
+    sys_.shutdown()
 
     # drop warmup/compile frames, keep steady state
     steady = np.array(times[5:]) if len(times) > 10 else np.array(times)

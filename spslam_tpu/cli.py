@@ -33,6 +33,7 @@ def main(argv=None):
     ap.add_argument("--metrics-out", type=str, default=None)
     ap.add_argument("--map-out", type=str, default=None)
     ap.add_argument("--loop", action="store_true", help="enable loop closing")
+    ap.add_argument("--async-mapping", action="store_true", help="background mapping thread")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -62,9 +63,19 @@ def main(argv=None):
         intr = seq.intr
         poses_gt = seq.poses_gt
 
-    cfg = SystemConfig(intr=intr, local_ba=not args.no_ba, use_planes=args.planes)
-    if args.loop:
-        cfg.use_loop = True
+    if args.config:
+        from .config import system_config_from_yaml
+
+        cfg = system_config_from_yaml(
+            args.config, local_ba=not args.no_ba, use_planes=args.planes,
+            use_loop=args.loop, async_mapping=args.async_mapping,
+        )
+        cfg.intr = intr if args.synthetic or not args.tum else cfg.intr
+    else:
+        cfg = SystemConfig(
+            intr=intr, local_ba=not args.no_ba, use_planes=args.planes,
+            use_loop=args.loop, async_mapping=args.async_mapping,
+        )
     sys_ = System(cfg)
 
     times = []
@@ -75,6 +86,7 @@ def main(argv=None):
         times.append(dt)
         if i % 10 == 0:
             print(f"frame {i}: state={state.name} {dt*1000:.1f}ms")
+    sys_.shutdown()
 
     times = np.array(times[2:])  # skip compile frames
     print(f"\ntracked {len(frames)} frames | median {np.median(times)*1000:.1f} ms/frame "

@@ -38,6 +38,8 @@ class SystemConfig:
     local_ba: bool = True
     localization_only: bool = False
     vocab_path: str | None = None  # pretrained vocabulary (else lazy-trained)
+    plane_cfg: object = None       # PlaneMapperConfig override (from YAML)
+    depth_map_factor: float = 5000.0  # raw-depth divisor for integer datasets
 
 
 class System:
@@ -48,9 +50,10 @@ class System:
         self.mapper = LocalMapper(cfg.mapper, cfg.intr, self.store)
         self.plane_mapper = None
         if cfg.use_planes:
-            from .mapping.plane_mapper import PlaneMapper
+            from .mapping.plane_mapper import PlaneMapper, PlaneMapperConfig
 
-            self.plane_mapper = PlaneMapper(cfg.intr, self.store)
+            pcfg = cfg.plane_cfg or PlaneMapperConfig()
+            self.plane_mapper = PlaneMapper(cfg.intr, self.store, pcfg)
         self.loop_closer = None
         if cfg.use_loop:
             import os
