@@ -88,7 +88,7 @@ class System:
 
         Returns (T_cw [7], state).
         """
-        T, state = self.tracker.process(gray, depth, ts)
+        T, state = self.tracker.process_fast(gray, depth, ts)
         # store the frame pose RELATIVE to its reference keyframe (the
         # reference's SaveTrajectoryTUM convention): loop/BA corrections to
         # keyframes then retroactively fix the whole trajectory
