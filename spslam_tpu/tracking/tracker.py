@@ -138,11 +138,12 @@ def _match_and_optimize(
 
 @partial(jax.jit, static_argnames=("spec", "intr", "n_features"))
 def track_frame_step(
-    gray, depth, T_pred,
-    pt_pos, pt_normal, pt_mind, pt_maxd, pt_bits, pt_valid,
+    gray_u8, depth_u16, T_pred,
+    pt_pos, pt_normal, pt_mind, pt_maxd, pt_desc, pt_valid,
     radius1, radius2, th_depth,
     spec: PyramidSpec, intr: Intrinsics, n_features: int,
     th_high: float = 20.0, th_low: float = 7.0,
+    depth_factor: float = 5000.0,
 ):
     """The whole per-frame device pipeline in ONE dispatch: frame build,
     coarse motion-model match+optimize, tight local-map match+optimize, and
@@ -153,6 +154,9 @@ def track_frame_step(
     (Per-stage host sync was the dominant cost over the TPU tunnel: device
     compute is ~17 ms/frame, the old host orchestration ~300 ms.)
     """
+    gray = gray_u8.astype(jnp.float32)
+    depth = depth_u16.astype(jnp.float32) / depth_factor
+    pt_bits = unpack_bits(pt_desc)
     frame = build_frame(gray, depth, spec, intr, n_features=n_features,
                         th_high=th_high, th_low=th_low)
     opt1, _, _ = _match_and_optimize(
@@ -225,9 +229,14 @@ class Tracker:
         if self.state == TrackState.NOT_INITIALIZED:
             return self.process(gray, depth, ts)
 
-        gray_j = jnp.asarray(gray)
-        depth_j = jnp.asarray(depth)
-        ids, pos, normal, mind, maxd, bits, valid = self._local_snapshot()
+        gray_j = jnp.asarray(
+            gray if gray.dtype == np.uint8 else np.clip(gray, 0, 255).astype(np.uint8)
+        )
+        depth_j = jnp.asarray(
+            depth if depth.dtype == np.uint16
+            else np.clip(depth * 5000.0, 0, 65535).astype(np.uint16)
+        )
+        ids, pos, normal, mind, maxd, desc, valid = self._local_snapshot()
         if self.velocity is not None:
             T_pred = np_lie.se3_compose(self.velocity, self.T_cw)
             radius1 = cfg.motion_search_radius
@@ -237,7 +246,7 @@ class Tracker:
 
         out = track_frame_step(
             gray_j, depth_j, jnp.asarray(T_pred),
-            pos, normal, mind, maxd, bits, valid,
+            pos, normal, mind, maxd, desc, valid,
             radius1, cfg.local_search_radius, cfg.th_depth,
             self.spec, self.intr, cfg.n_features,
             cfg.th_fast_high, cfg.th_fast_low,
@@ -346,13 +355,14 @@ class Tracker:
         normal = jnp.asarray(st.pt_normal[sel])
         mind = jnp.asarray(st.pt_min_dist[sel])
         maxd = jnp.asarray(st.pt_max_dist[sel])
-        bits = unpack_bits(jnp.asarray(st.pt_desc[sel]))
+        desc = jnp.asarray(st.pt_desc[sel])   # packed; unpacked on device
         valid = jnp.asarray(ids >= 0)
-        return ids, pos, normal, mind, maxd, bits, valid
+        return ids, pos, normal, mind, maxd, desc, valid
 
     def _track(self, frame: FrameData, ts: float):
         cfg = self.cfg
-        ids, pos, normal, mind, maxd, bits, valid = self._local_snapshot()
+        ids, pos, normal, mind, maxd, desc, valid = self._local_snapshot()
+        bits = unpack_bits(desc)
 
         # --- step 1: motion model (or last pose) coarse alignment ---------
         if self.velocity is not None:
