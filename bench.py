@@ -31,12 +31,20 @@ def main():
     from spslam_tpu.eval.ate import ate_rmse
     from spslam_tpu.io.synthetic import make_sequence
     from spslam_tpu.system import System, SystemConfig
+    from spslam_tpu.tracking.tracker import TrackerConfig
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "40"))
     print(f"backend={jax.default_backend()} rendering {n_frames} frames...", file=sys.stderr)
     seq = make_sequence(n_frames=n_frames)
 
-    sys_ = System(SystemConfig(intr=seq.intr, local_ba=True, async_mapping=True))
+    # ThDepth is a per-dataset camera parameter in the reference (YAML);
+    # the synthetic room's far wall is at 4 m, so the close/far split goes
+    # at 5 m (3.2 m would classify most of the scene "far" and trip the
+    # need-close-points keyframe trigger every frame).
+    sys_ = System(SystemConfig(
+        intr=seq.intr, local_ba=True, async_mapping=True,
+        tracker=TrackerConfig(th_depth=5.0),
+    ))
     times = []
     for i, ((gray, depth), ts) in enumerate(zip(seq.frames, seq.timestamps)):
         t0 = time.perf_counter()

@@ -109,13 +109,22 @@ def pose_optimization(
         c = jnp.sum(e * e, axis=-1) * inv_sigma2
         return c
 
+    is_stereo = ur_obs >= 0
+    delta2 = jnp.where(is_stereo, delta2_stereo, delta2_mono)
+
+    def robust_cost(chi2, inliers):
+        rho = jnp.where(
+            chi2 <= delta2,
+            chi2,
+            2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2,
+        )
+        return jnp.sum(rho * inliers * valid)
+
     def lm_round(T, inliers):
         def body(_, carry):
             T, lam = carry
             e, J, _ = _residuals_and_jac(T, pts_w, uv_obs, ur_obs, intr)
-            is_stereo = ur_obs >= 0
             chi2 = jnp.sum(e * e, axis=-1) * inv_sigma2
-            delta2 = jnp.where(is_stereo, delta2_stereo, delta2_mono)
             w_rob = huber_weight(chi2, delta2)
             w = inv_sigma2 * w_rob * inliers.astype(e.dtype) * valid.astype(e.dtype)
             Jw = J * w[:, None, None]
@@ -124,14 +133,12 @@ def pose_optimization(
             H = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
             dx = jnp.linalg.solve(H, b)
             T_new = se3_retract(T, dx)
-            # Accept if robust cost decreased.
-            def cost(Tc):
-                ec, _, _ = _residuals_and_jac(Tc, pts_w, uv_obs, ur_obs, intr)
-                c = jnp.sum(ec * ec, axis=-1) * inv_sigma2
-                rho = jnp.where(c <= delta2, c, 2.0 * jnp.sqrt(delta2 * jnp.maximum(c, 1e-12)) - delta2)
-                return jnp.sum(rho * inliers * valid)
-
-            better = cost(T_new) < cost(T)
+            # Accept if robust cost decreased (current cost reuses e above —
+            # one extra residual evaluation per iteration, not two).
+            cost_cur = robust_cost(chi2, inliers)
+            e_new, _, _ = _residuals_and_jac(T_new, pts_w, uv_obs, ur_obs, intr)
+            cost_new = robust_cost(jnp.sum(e_new * e_new, axis=-1) * inv_sigma2, inliers)
+            better = cost_new < cost_cur
             T = jax.tree.map(lambda a, b_: jnp.where(better, a, b_), T_new, T)
             lam = jnp.where(better, lam * 0.5, lam * 4.0)
             return T, lam

@@ -86,13 +86,23 @@ class System:
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, ts: float):
         """Feed one frame. gray: [H,W] float32 0..255; depth: meters.
 
-        Returns (T_cw [7], state).
+        Returns (T_cw [7], state) of the most recently RESOLVED frame: the
+        tracker runs a depth-1 software pipeline (frame N's device compute
+        overlaps frame N-1's host bookkeeping — tracker.process_pipelined),
+        so the current frame's pose is typically returned by the NEXT call;
+        the full per-frame trajectory is exact after shutdown()/poses().
         """
-        T, state = self.tracker.process_fast(gray, depth, ts)
+        for rec in self.tracker.process_pipelined(gray, depth, ts):
+            self._absorb(rec)
+        return self.tracker.T_cw.copy(), self.tracker.state
+
+    def _absorb(self, rec):
+        """Trajectory bookkeeping + mapping hand-off for one resolved frame."""
         # store the frame pose RELATIVE to its reference keyframe (the
         # reference's SaveTrajectoryTUM convention): loop/BA corrections to
         # keyframes then retroactively fix the whole trajectory
-        ref = self.tracker.ref_kf if state == TrackState.OK else -1
+        T, ts, state = rec.T, rec.ts, rec.state
+        ref = rec.ref_kf if state == TrackState.OK else -1
         if ref >= 0:
             from .geometry import np_lie
 
@@ -101,30 +111,31 @@ class System:
             T_rel = T
         self._rel_trajectory.append((ts, int(ref), T_rel))
         self.trajectory.append((ts, T))
-        new_kf = self.tracker.last_kf
-        if self.store.n_kf != self._last_kf_count and not self.cfg.localization_only:
+        if rec.new_kf >= 0 and not self.cfg.localization_only:
             self._last_kf_count = self.store.n_kf
             if self.pipeline is not None:
-                self.pipeline.submit(new_kf, gray, depth)
+                self.pipeline.submit(rec.new_kf, rec.gray, rec.depth)
             else:
                 if self.plane_mapper is not None and state == TrackState.OK:
-                    self.plane_mapper.process_keyframe(new_kf, gray, depth)
-                self.mapper.process_keyframe(new_kf, run_ba=self.cfg.local_ba)
+                    self.plane_mapper.process_keyframe(rec.new_kf, rec.gray, rec.depth)
+                self.mapper.process_keyframe(rec.new_kf, run_ba=self.cfg.local_ba)
                 if self.loop_closer is not None:
-                    closed = self.loop_closer.process_keyframe(new_kf)
+                    closed = self.loop_closer.process_keyframe(rec.new_kf)
                     if closed:
                         # realign the tracker with the corrected map
-                        self.tracker.T_cw = self.store.kf_pose[new_kf].copy()
-                        self.tracker.velocity = None
-                        T = self.tracker.T_cw.copy()
-                        self.trajectory[-1] = (ts, T)
-        return T, state
+                        self.tracker.external_pose_correction(
+                            self.store.kf_pose[rec.new_kf]
+                        )
+                        self.trajectory[-1] = (ts, self.tracker.T_cw.copy())
 
     # -----------------------------------------------------------------
     def poses(self) -> np.ndarray:
         """Per-frame T_cw reconstructed through CURRENT keyframe poses, so
         loop-closure / BA corrections apply to the whole trajectory."""
         from .geometry import np_lie
+
+        for rec in self.tracker.flush_pipeline():  # resolve in-flight frame
+            self._absorb(rec)
 
         out = []
         for (ts, ref, T_rel), (_, T_abs) in zip(self._rel_trajectory, self.trajectory):
@@ -164,6 +175,8 @@ class System:
                 )
 
     def save_metrics(self, path: str):
+        for rec in self.tracker.flush_pipeline():
+            self._absorb(rec)
         with open(path, "w") as f:
             for m in self.tracker.metrics:
                 f.write(json.dumps(m) + "\n")
@@ -215,5 +228,7 @@ class System:
         self.cfg.localization_only = False
 
     def shutdown(self):
+        for rec in self.tracker.flush_pipeline():
+            self._absorb(rec)
         if self.pipeline is not None:
             self.pipeline.shutdown()

@@ -89,8 +89,9 @@ class AsyncMappingPipeline:
                         closed = sys_.loop_closer.process_keyframe(kf)
                         if closed:
                             with sys_.store.lock:
-                                sys_.tracker.T_cw = sys_.store.kf_pose[kf].copy()
-                                sys_.tracker.velocity = None
+                                sys_.tracker.external_pose_correction(
+                                    sys_.store.kf_pose[kf]
+                                )
                     self.n_processed += 1
                 self.n_coalesced += max(len(items) - 1, 0)
             finally:

@@ -66,6 +66,19 @@ class TrackerConfig:
     max_new_points_per_kf: int = 360
 
 
+@dataclass
+class FrameRecord:
+    """Resolved per-frame result handed back to the System by the pipelined
+    tracking path (poses may resolve one call later than they were fed)."""
+    ts: float
+    T: np.ndarray          # T_cw at resolution time
+    state: "TrackState"
+    ref_kf: int            # reference keyframe at resolution time
+    new_kf: int            # keyframe id created for this frame, or -1
+    gray: np.ndarray       # original inputs (for plane mapping on KF frames)
+    depth: np.ndarray
+
+
 @partial(jax.jit, static_argnames=("intr",))
 def project_points(T_cw, pos, normal, min_dist, max_dist, valid, intr: Intrinsics):
     """Project local map points into the frame with the reference's gates
@@ -99,7 +112,7 @@ def project_points(T_cw, pos, normal, min_dist, max_dist, valid, intr: Intrinsic
     return uv, ok, oct_pred, z
 
 
-@partial(jax.jit, static_argnames=("intr",))
+@partial(jax.jit, static_argnames=("intr", "n_rounds", "n_iters"))
 def _match_and_optimize(
     T_init,
     pt_pos, pt_normal, pt_min_dist, pt_max_dist, pt_bits, pt_valid,
@@ -107,6 +120,8 @@ def _match_and_optimize(
     radius_base,
     max_dist_hamming,
     intr: Intrinsics,
+    n_rounds: int = 4,
+    n_iters: int = 10,
 ):
     """Project → gated match → pose optimization, all on device.
 
@@ -131,41 +146,62 @@ def _match_and_optimize(
     ur_obs = jnp.where(matched, frame.u_right[kp_idx], -1.0)
     inv_s2 = octave_inv_sigma2(frame.octave[kp_idx])
     opt = pose_optimization(
-        T_init, pt_pos, uv_obs, ur_obs, inv_s2, matched, intr
+        T_init, pt_pos, uv_obs, ur_obs, inv_s2, matched, intr,
+        n_rounds=n_rounds, n_iters=n_iters,
     )
     return opt, jnp.where(matched, res.idx, -1), matched
 
 
 @partial(jax.jit, static_argnames=("spec", "intr", "n_features"))
 def track_frame_step(
-    gray_u8, depth_u16, T_pred,
-    pt_pos, pt_normal, pt_mind, pt_maxd, pt_desc, pt_valid,
-    radius1, radius2, th_depth,
+    gray_u8, depth_u16, T_prev, T_prev2, has_vel,
+    pt_pack, pt_desc, pt_valid,
+    radius_motion, radius2, th_depth,
     spec: PyramidSpec, intr: Intrinsics, n_features: int,
     th_high: float = 20.0, th_low: float = 7.0,
     depth_factor: float = 5000.0,
 ):
-    """The whole per-frame device pipeline in ONE dispatch: frame build,
-    coarse motion-model match+optimize, tight local-map match+optimize, and
-    the keyframe-decision statistics.
+    """The whole per-frame device pipeline in ONE dispatch: pose prediction
+    (constant-velocity model from the two previous DEVICE-resident poses),
+    frame build, coarse motion-model match+optimize, tight local-map
+    match+optimize, and the keyframe-decision statistics.
+
+    Computing the motion prediction on device (rather than taking T_pred
+    from the host) breaks the host-sync dependency between consecutive
+    frames: frame N can be dispatched from frame N-1's un-fetched output
+    pose, so the ~tens-of-ms device tunnel round trip overlaps the next
+    frame's device compute (software pipelining, depth 1).
 
     The host performs a single device_get of small outputs; the FrameData
     stays on device and is only downloaded when a keyframe is created.
     (Per-stage host sync was the dominant cost over the TPU tunnel: device
     compute is ~17 ms/frame, the old host orchestration ~300 ms.)
     """
+    from ..geometry.lie import se3_compose, se3_inverse
+
+    vel = se3_compose(T_prev, se3_inverse(T_prev2))
+    T_pred = jnp.where(has_vel, se3_compose(vel, T_prev), T_prev)
+    # no motion prior: double the window (covers fast inter-frame motion
+    # right after init / relocalization)
+    radius1 = jnp.where(has_vel, radius_motion, 2.0 * radius_motion)
     gray = gray_u8.astype(jnp.float32)
     depth = depth_u16.astype(jnp.float32) / depth_factor
+    pt_pos = pt_pack[:, 0:3]
+    pt_normal = pt_pack[:, 3:6]
+    pt_mind = pt_pack[:, 6]
+    pt_maxd = pt_pack[:, 7]
     pt_bits = unpack_bits(pt_desc)
     frame = build_frame(gray, depth, spec, intr, n_features=n_features,
                         th_high=th_high, th_low=th_low)
+    # coarse stage: short LM schedule (it only seeds the tight stage; the
+    # reference's full 4x10 schedule belongs to the final optimization)
     opt1, _, _ = _match_and_optimize(
         T_pred, pt_pos, pt_normal, pt_mind, pt_maxd, pt_bits, pt_valid,
-        frame, radius1, TH_HIGH, intr,
+        frame, radius1, TH_HIGH, intr, n_rounds=2, n_iters=5,
     )
     opt2, match_idx, matched = _match_and_optimize(
         opt1.T_cw, pt_pos, pt_normal, pt_mind, pt_maxd, pt_bits, pt_valid,
-        frame, radius2, TH_HIGH, intr,
+        frame, radius2, TH_HIGH, intr, n_rounds=4, n_iters=6,
     )
     kp_idx = jnp.maximum(match_idx, 0)
     kp_depth = frame.depth[kp_idx]
@@ -176,6 +212,25 @@ def track_frame_step(
     )
     return (frame, opt2.T_cw, opt1.n_inliers, opt2.n_inliers, match_idx,
             matched, opt2.inliers, n_close_tracked, close_avail)
+
+
+@jax.jit
+def _pack_frame(frame: FrameData):
+    """Pack the host-needed FrameData fields into one [N, 10] f32 matrix
+    (+ the u32 descriptors) so a keyframe download is 2 transfers, not 8."""
+    packed = jnp.concatenate(
+        [
+            frame.uv,
+            frame.octave.astype(jnp.float32)[:, None],
+            frame.angle[:, None],
+            frame.depth[:, None],
+            frame.u_right[:, None],
+            frame.valid.astype(jnp.float32)[:, None],
+            frame.xyz_cam,
+        ],
+        axis=-1,
+    )
+    return packed, frame.desc
 
 
 class Tracker:
@@ -205,6 +260,20 @@ class Tracker:
         # Relocalization via KeyFrameDatabase + PnPsolver, SURVEY §2 #13/#15)
         self.relocalizer = None
         self._reloc_key = None
+        # pipelined-tracking state (process_pipelined)
+        self._pending: Optional[dict] = None      # in-flight dispatched frame
+        self._chain = None                         # (T_N, T_{N-1}) device poses
+        self._force_robust = False                 # in-flight frame used a bad chain
+        import threading
+
+        self._pose_corrected = threading.Event()   # set by loop-closure merge
+
+    def external_pose_correction(self, T_cw: np.ndarray):
+        """Called (possibly from the mapping thread) when loop closure or BA
+        rewrote the current pose: resets the device prediction chain."""
+        self.T_cw = np.asarray(T_cw, np.float32).copy()
+        self.velocity = None
+        self._pose_corrected.set()
 
     # -----------------------------------------------------------------
     def process(self, gray: np.ndarray, depth: np.ndarray, ts: float):
@@ -221,14 +290,7 @@ class Tracker:
         self.frame_id += 1
         return self.T_cw.copy(), self.state
 
-    def process_fast(self, gray: np.ndarray, depth: np.ndarray, ts: float):
-        """Single-dispatch tracking path: one fused device step per frame,
-        one device_get.  Falls back to the robust multi-step path
-        (process/_track) for initialization and tracking anomalies."""
-        cfg = self.cfg
-        if self.state == TrackState.NOT_INITIALIZED:
-            return self.process(gray, depth, ts)
-
+    def _upload_frame(self, gray: np.ndarray, depth: np.ndarray):
         gray_j = jnp.asarray(
             gray if gray.dtype == np.uint8 else np.clip(gray, 0, 255).astype(np.uint8)
         )
@@ -236,31 +298,88 @@ class Tracker:
             depth if depth.dtype == np.uint16
             else np.clip(depth * 5000.0, 0, 65535).astype(np.uint16)
         )
-        ids, pos, normal, mind, maxd, desc, valid = self._local_snapshot()
-        if self.velocity is not None:
-            T_pred = np_lie.se3_compose(self.velocity, self.T_cw)
-            radius1 = cfg.motion_search_radius
-        else:
-            T_pred = self.T_cw
-            radius1 = 2.0 * cfg.motion_search_radius
+        return gray_j, depth_j
 
+    def _dispatch(self, gray: np.ndarray, depth: np.ndarray, ts: float) -> dict:
+        """Launch the fused device step for one frame (async, no sync).
+
+        The pose-prediction chain lives on DEVICE: T_prev/T_prev2 are the
+        un-fetched output poses of the previous dispatches, so back-to-back
+        dispatches never wait on a host round trip.  After a chain reset
+        (init, relocalization, loop correction) the chain is rebuilt from
+        the host pose/velocity.
+        """
+        cfg = self.cfg
+        gray_j, depth_j = self._upload_frame(gray, depth)
+        ids, pack, desc, valid = self._local_snapshot()
+        if self._pose_corrected.is_set():
+            self._chain = None
+            self._pose_corrected.clear()
+        if self._chain is not None:
+            T_prev, T_prev2, has_vel = self._chain[0], self._chain[1], True
+        elif self.velocity is not None:
+            T_prev = jnp.asarray(self.T_cw)
+            T_prev2 = jnp.asarray(
+                np_lie.se3_compose(np_lie.se3_inverse(self.velocity), self.T_cw)
+            )
+            has_vel = True
+        else:
+            T_prev = T_prev2 = jnp.asarray(self.T_cw)
+            has_vel = False
         out = track_frame_step(
-            gray_j, depth_j, jnp.asarray(T_pred),
-            pos, normal, mind, maxd, desc, valid,
-            radius1, cfg.local_search_radius, cfg.th_depth,
+            gray_j, depth_j, T_prev, T_prev2, jnp.asarray(has_vel),
+            pack, desc, valid,
+            cfg.motion_search_radius, cfg.local_search_radius, cfg.th_depth,
             self.spec, self.intr, cfg.n_features,
             cfg.th_fast_high, cfg.th_fast_low,
         )
-        frame = out[0]
+        self._chain = (out[1], T_prev)  # (T_N device, T_{N-1} device)
+        p = dict(out=out, ids=ids, ts=ts, gray=gray, depth=depth,
+                 frame_id=self.frame_id)
+        self.frame_id += 1
+        return p
+
+    def _resolve(self, p: dict) -> "FrameRecord":
+        """Fetch + host-process one dispatched frame: pose/velocity update,
+        map-point statistics, keyframe decision/insertion.  Falls back to
+        the robust multi-step path on tracking anomalies."""
+        cfg = self.cfg
+        frame = p["out"][0]
+        prev_kf = self.last_kf
+        # run host logic under the resolved frame's id (dispatches may have
+        # advanced self.frame_id past it); restore afterwards
+        fid_after = self.frame_id
+        self.frame_id = p["frame_id"]
+        if self._force_robust:
+            # previous frame failed AFTER this one was dispatched with a bad
+            # prediction chain; the built FrameData is still valid, so rerun
+            # matching+optimization robustly from the corrected host pose
+            self._force_robust = False
+            self._chain = None
+            self._track(frame, p["ts"])
+            self.frame_id = fid_after
+            return FrameRecord(
+                ts=p["ts"], T=self.T_cw.copy(), state=self.state,
+                ref_kf=self.ref_kf,
+                new_kf=self.last_kf if self.last_kf != prev_kf else -1,
+                gray=p["gray"], depth=p["depth"],
+            )
         (T_new, n1, n2, match_idx, matched, inl, n_close_tracked, close_avail) = (
-            jax.device_get(out[1:])
+            jax.device_get(p["out"][1:])
         )
         n1, n2 = int(n1), int(n2)
         if n1 < cfg.min_inliers_motion or n2 < cfg.kf_min_inliers:
             # rare anomaly: rerun the robust path on the already-built frame
-            self._track(frame, ts)
-            self.frame_id += 1
-            return self.T_cw.copy(), self.state
+            self._force_robust = self._pending is not None  # in-flight frame
+            self._chain = None          # used this frame's bad output pose
+            self._track(frame, p["ts"])
+            self.frame_id = fid_after
+            return FrameRecord(
+                ts=p["ts"], T=self.T_cw.copy(), state=self.state,
+                ref_kf=self.ref_kf,
+                new_kf=self.last_kf if self.last_kf != prev_kf else -1,
+                gray=p["gray"], depth=p["depth"],
+            )
 
         self.velocity = np_lie.se3_compose(T_new, np_lie.se3_inverse(self.T_cw))
         self.T_cw = np.asarray(T_new)
@@ -268,7 +387,7 @@ class Tracker:
         self.frames_since_kf += 1
         self.last_inliers = n2
 
-        mids = np.asarray(ids)
+        mids = np.asarray(p["ids"])
         seen = mids[matched]
         self.store.pt_visible[seen[seen >= 0]] += 1
         found = mids[inl]
@@ -289,7 +408,7 @@ class Tracker:
         )
         if need_kf:
             kf = self._insert_keyframe(
-                frame, ts,
+                frame, p["ts"],
                 matches_pt_ids=np.where(inl, mids, -1),
                 match_kp_idx=match_idx,
             )
@@ -297,10 +416,64 @@ class Tracker:
             self.last_kf = kf
             self.frames_since_kf = 0
         self.metrics.append(
-            dict(frame=self.frame_id, state="OK", inliers=n2, kf=int(need_kf))
+            dict(frame=p["frame_id"], state="OK", inliers=n2, kf=int(need_kf))
         )
-        self.frame_id += 1
+        self.frame_id = fid_after
+        return FrameRecord(
+            ts=p["ts"], T=self.T_cw.copy(), state=self.state,
+            ref_kf=self.ref_kf,
+            new_kf=self.last_kf if need_kf else -1,
+            gray=p["gray"], depth=p["depth"],
+        )
+
+    def process_fast(self, gray: np.ndarray, depth: np.ndarray, ts: float):
+        """Single-dispatch tracking path: one fused device step per frame,
+        one device_get (synchronous — see process_pipelined for the
+        overlapped variant).  Falls back to the robust multi-step path
+        (process/_track) for initialization and tracking anomalies."""
+        if self.state == TrackState.NOT_INITIALIZED:
+            return self.process(gray, depth, ts)
+        p = self._dispatch(gray, depth, ts)
+        self._resolve(p)
         return self.T_cw.copy(), self.state
+
+    def process_pipelined(self, gray: np.ndarray, depth: np.ndarray, ts: float):
+        """Depth-1 pipelined tracking: dispatch frame N, THEN resolve frame
+        N-1 (whose device work overlapped the host work since last call).
+
+        Returns a list of FrameRecord for frames that RESOLVED during this
+        call (usually the previous frame; the current frame's record arrives
+        on the next call or at flush_pipeline()).  Frame order is preserved.
+        """
+        records = []
+        if self.state in (TrackState.NOT_INITIALIZED, TrackState.LOST):
+            # synchronous path until tracking is healthy
+            if self._pending is not None:
+                p, self._pending = self._pending, None
+                records.append(self._resolve(p))
+            if self.state in (TrackState.NOT_INITIALIZED, TrackState.LOST):
+                prev_kf = self.last_kf
+                T, state = self.process(gray, depth, ts)
+                self._chain = None
+                records.append(FrameRecord(
+                    ts=ts, T=T, state=state, ref_kf=self.ref_kf,
+                    new_kf=self.last_kf if self.last_kf != prev_kf else -1,
+                    gray=gray, depth=depth,
+                ))
+                return records
+        p = self._dispatch(gray, depth, ts)
+        old, self._pending = self._pending, p
+        if old is not None:
+            records.append(self._resolve(old))
+        return records
+
+    def flush_pipeline(self):
+        """Resolve any in-flight frame (call before reading final state)."""
+        records = []
+        if self._pending is not None:
+            p, self._pending = self._pending, None
+            records.append(self._resolve(p))
+        return records
 
     # -----------------------------------------------------------------
     def _initialize(self, frame: FrameData, ts: float):
@@ -351,17 +524,27 @@ class Tracker:
         pad = cap - len(pts)
         ids = np.concatenate([pts, np.full(pad, -1, np.int32)])
         sel = np.maximum(ids, 0)
-        pos = jnp.asarray(st.pt_pos[sel])
-        normal = jnp.asarray(st.pt_normal[sel])
-        mind = jnp.asarray(st.pt_min_dist[sel])
-        maxd = jnp.asarray(st.pt_max_dist[sel])
+        # one packed f32 upload (pos | normal | min_dist | max_dist) + desc +
+        # valid: 3 transfers instead of 7 (tunnel latency is per-buffer)
+        pack_np = np.concatenate(
+            [
+                st.pt_pos[sel],
+                st.pt_normal[sel],
+                st.pt_min_dist[sel][:, None],
+                st.pt_max_dist[sel][:, None],
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        pack = jnp.asarray(pack_np)
         desc = jnp.asarray(st.pt_desc[sel])   # packed; unpacked on device
         valid = jnp.asarray(ids >= 0)
-        return ids, pos, normal, mind, maxd, desc, valid
+        return ids, pack, desc, valid
 
     def _track(self, frame: FrameData, ts: float):
         cfg = self.cfg
-        ids, pos, normal, mind, maxd, desc, valid = self._local_snapshot()
+        ids, pack, desc, valid = self._local_snapshot()
+        pos, normal = pack[:, 0:3], pack[:, 3:6]
+        mind, maxd = pack[:, 6], pack[:, 7]
         bits = unpack_bits(desc)
 
         # --- step 1: motion model (or last pose) coarse alignment ---------
@@ -537,13 +720,20 @@ class Tracker:
         return None
 
     def _frame_to_np(self, frame: FrameData) -> dict:
-        # single batched device->host transfer for the whole frame bundle
-        uv, octave, angle, desc, depth, ur, valid, xyz = jax.device_get(
-            (frame.uv, frame.octave, frame.angle, frame.desc, frame.depth,
-             frame.u_right, frame.valid, frame.xyz_cam)
+        # two device->host transfers for the whole frame bundle: one packed
+        # f32 matrix + the u32 descriptors (per-buffer transfer latency over
+        # the device tunnel dominates, so fewer/larger buffers win)
+        packed, desc = jax.device_get(_pack_frame(frame))
+        return dict(
+            uv=packed[:, 0:2],
+            octave=packed[:, 2].astype(np.int32),
+            angle=packed[:, 3],
+            depth=packed[:, 4],
+            u_right=packed[:, 5],
+            valid=packed[:, 6] > 0.5,
+            xyz_cam=packed[:, 7:10],
+            desc=desc,
         )
-        return dict(uv=uv, octave=octave, angle=angle, desc=desc, depth=depth,
-                    u_right=ur, valid=valid, xyz_cam=xyz)
 
     def _insert_keyframe(
         self, frame: FrameData, ts, matches_pt_ids, match_kp_idx, frame_np=None,
