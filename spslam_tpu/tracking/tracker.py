@@ -393,19 +393,7 @@ class Tracker:
         found = mids[inl]
         self.store.pt_found[found[found >= 0]] += 1
 
-        ref_pts = self.store.kf_obs[self.ref_kf]
-        ref_pts = ref_pts[ref_pts >= 0]
-        ref_tracked = max(int(np.sum(self.store.pt_n_obs[ref_pts] >= 3)), 15)
-        need_close = (
-            int(n_close_tracked) < cfg.new_kf_close_points
-            and int(close_avail) - int(n_close_tracked) > 70
-        )
-        weak = n2 < 0.25 * ref_tracked
-        need_kf = self.frames_since_kf >= cfg.kf_max_interval or (
-            (n2 < cfg.kf_tracked_ratio * ref_tracked or need_close)
-            and n2 > cfg.kf_min_inliers
-            and (self.frames_since_kf >= cfg.kf_min_interval or weak)
-        )
+        need_kf = self._need_new_kf(n2, int(n_close_tracked), int(close_avail))
         if need_kf:
             kf = self._insert_keyframe(
                 frame, p["ts"],
@@ -632,21 +620,7 @@ class Tracker:
                 & frame_np["valid"]
             )
         )
-        # reference NeedNewKeyFrame semantics: compare against the ref KF's
-        # WELL-OBSERVED points (>=3 obs), not all bound slots
-        ref_pts = self.store.kf_obs[self.ref_kf]
-        ref_pts = ref_pts[ref_pts >= 0]
-        ref_tracked = max(int(np.sum(self.store.pt_n_obs[ref_pts] >= 3)), 15)
-        need_close = (
-            n_close_tracked < cfg.new_kf_close_points
-            and close_avail - n_close_tracked > 70
-        )
-        weak = n2 < 0.25 * ref_tracked
-        need_kf = self.frames_since_kf >= cfg.kf_max_interval or (
-            (n2 < cfg.kf_tracked_ratio * ref_tracked or need_close)
-            and n2 > cfg.kf_min_inliers
-            and (self.frames_since_kf >= cfg.kf_min_interval or weak)
-        )
+        need_kf = self._need_new_kf(n2, n_close_tracked, close_avail)
         if need_kf:
             kf = self._insert_keyframe(
                 frame, ts,
@@ -659,6 +633,38 @@ class Tracker:
             self.frames_since_kf = 0
         self.metrics.append(
             dict(frame=self.frame_id, state="OK", inliers=n2, kf=int(need_kf))
+        )
+
+    # -----------------------------------------------------------------
+    def _need_new_kf(self, n2: int, n_close_tracked: int, close_avail: int) -> bool:
+        """Reference Tracking::NeedNewKeyFrame semantics (RGB-D): compare the
+        current inlier count against the reference KF's points tracked with
+        at least nMinObs observations, where nMinObs relaxes to 2 while the
+        map has <= 2 keyframes (otherwise no point can ever reach 3 obs and
+        keyframe insertion deadlocks — the round-1 ATE regression)."""
+        cfg = self.cfg
+        st = self.store
+        min_obs = 3 if int(st.kf_valid.sum()) > 2 else 2
+        ref_pts = st.kf_obs[self.ref_kf]
+        ref_pts = ref_pts[ref_pts >= 0]
+        # the reference's MapPoint::nObs counts stereo/RGB-D observations
+        # DOUBLE (AddObservation: nObs += 2 when mvuRight >= 0), so a
+        # depth-backed point reaches nObs=2 from its birth keyframe alone
+        obs_kf = st.pt_obs_kf[ref_pts]      # [n, O]
+        obs_slot = st.pt_obs_slot[ref_pts]  # [n, O]
+        has = obs_kf >= 0
+        stereo = has & (st.kf_ur[np.maximum(obs_kf, 0), np.maximum(obs_slot, 0)] >= 0)
+        n_obs_w = (has.astype(np.int32) + stereo.astype(np.int32)).sum(axis=1)
+        ref_tracked = int(np.sum(n_obs_w >= min_obs))
+        need_close = (
+            n_close_tracked < cfg.new_kf_close_points
+            and close_avail - n_close_tracked > 70
+        )
+        weak = n2 < 0.25 * ref_tracked
+        return self.frames_since_kf >= cfg.kf_max_interval or (
+            (n2 < cfg.kf_tracked_ratio * ref_tracked or need_close)
+            and n2 > cfg.kf_min_inliers
+            and (self.frames_since_kf >= cfg.kf_min_interval or weak)
         )
 
     # -----------------------------------------------------------------
