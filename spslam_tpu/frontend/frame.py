@@ -19,9 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.camera import Intrinsics, in_image, undistort_points, unproject, virtual_right_u
-from ..ops.brief import describe, unpack_bits
-from ..ops.fast import detect_pyramid
-from ..ops.pyramid import PyramidSpec, build_pyramid
+from ..ops.brief import describe_levels, unpack_bits
+from ..ops.fast import detect_levels, level_feature_counts
+from ..ops.pyramid import PyramidSpec, build_pyramid_levels
 
 
 class FrameData(NamedTuple):
@@ -50,7 +50,7 @@ def _sample_depth(depth_img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return depth_img[y, x]
 
 
-@partial(jax.jit, static_argnames=("spec", "intr", "n_features"))
+@partial(jax.jit, static_argnames=("spec", "intr", "n_features", "th_high", "th_low"))
 def build_frame(
     gray: jnp.ndarray,
     depth_img: jnp.ndarray,
@@ -61,9 +61,10 @@ def build_frame(
     th_low: float = 7.0,
 ) -> FrameData:
     """gray: [H, W] float32 0..255; depth_img: [H, W] float32 meters (0=invalid)."""
-    pyr, pyr_blur, _ = build_pyramid(gray, spec, blur=True)
-    det = detect_pyramid(pyr, spec, n_features=n_features, th_high=th_high, th_low=th_low)
-    angle, desc = describe(pyr, pyr_blur, det["octave"], det["xy_level"])
+    levels, levels_blur = build_pyramid_levels(gray, spec, blur=True)
+    det = detect_levels(levels, spec, n_features=n_features, th_high=th_high, th_low=th_low)
+    counts = level_feature_counts(spec, n_features)
+    angle, desc = describe_levels(levels_blur, det["xy_level"], counts)
 
     uv_raw = det["xy"]
     uv = undistort_points(intr, uv_raw)

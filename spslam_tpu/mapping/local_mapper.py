@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +40,9 @@ class MapperConfig:
     kf_cull_redundancy: float = 0.9
     ba_every: int = 2             # run local BA every N keyframes (the
                                   # reference aborts BA when KFs queue up)
+    ba_stage1_iters: int = 4      # LM iterations before the chi2 gate
+    ba_stage2_iters: int = 6      # LM iterations after (reference: 5+10;
+                                  # exact Schur steps converge in fewer)
 
 
 class LocalMapper:
@@ -244,21 +248,26 @@ class LocalMapper:
             pp_w=jnp.asarray(pp_w),
             pp_valid=jnp.asarray(pp_valid),
         )
-        res = bundle_adjust(prob, self.intr)
+        res = bundle_adjust(
+            prob, self.intr,
+            stage1_iters=cfg.ba_stage1_iters, stage2_iters=cfg.ba_stage2_iters,
+        )
+        # Fetch ALL results BEFORE taking the store lock: np.asarray here is
+        # a device sync (tens of ms while tracking contends for the chip);
+        # holding the lock across it stalled the tracker a full BA per frame.
+        new_poses, new_points, new_planes, inl = jax.device_get(
+            (res.poses, res.points, res.planes, res.obs_inlier)
+        )
         # --- write back (short critical section) ---
         self.store.lock.acquire()
-        new_poses = np.asarray(res.poses)
         for i, k in enumerate(kf_ids):
             if not fixed_mask[i]:
                 st.set_kf_pose(int(k), new_poses[i])
-        new_points = np.asarray(res.points)
         st.pt_pos[pts] = new_points[: len(pts)]
         # write back optimized plane coefficients
-        new_planes = np.asarray(res.planes)
         for li, l in enumerate(plane_src):
             st.pl_coef[l] = new_planes[li]
         # remove outlier observations (loop only over the few outliers)
-        inl = np.asarray(res.obs_inlier)
         src_p, src_k, src_s = obs_src
         bad = np.nonzero(~inl[: len(src_p)])[0]
         for ri in bad:

@@ -168,6 +168,46 @@ def unpack_bits(desc: jnp.ndarray) -> jnp.ndarray:
     return bits.reshape(desc.shape[0], 256).astype(jnp.float32)
 
 
+def gather_patches_level(img: jnp.ndarray, xy: jnp.ndarray, r: int = PATCH_R) -> jnp.ndarray:
+    """Gather (2r+1)^2 patches from ONE true-size level image.
+
+    img: [h_l, w_l]; xy: [n, 2] float32 level coords.  Returns [n, 2r+1, 2r+1].
+    """
+    H, W = img.shape
+    size = 2 * r + 1
+
+    def one(p):
+        cx = jnp.clip(jnp.round(p[0]).astype(jnp.int32), r, W - r - 1)
+        cy = jnp.clip(jnp.round(p[1]).astype(jnp.int32), r, H - r - 1)
+        return jax.lax.dynamic_slice(img, (cy - r, cx - r), (size, size))
+
+    return jax.vmap(one)(xy)
+
+
+@partial(jax.jit, static_argnames=("counts",))
+def describe_levels(levels_blur, xy_level: jnp.ndarray, counts: tuple):
+    """Orientation + descriptors over true-size pyramid levels.
+
+    Keypoints in xy_level are grouped by level with STATIC per-level counts
+    (ops/fast.detect_levels ordering), so each level's patch gather is a
+    static slice — no cross-level [L, H, W] buffer needed.
+
+    Returns (angles [N] rad, desc [N, 8] uint32).
+    """
+    patches = []
+    start = 0
+    for lvl, c in enumerate(counts):
+        if c == 0:
+            continue
+        xy = jax.lax.slice_in_dim(xy_level, start, start + c, axis=0)
+        patches.append(gather_patches_level(levels_blur[lvl], xy))
+        start += c
+    patches = jnp.concatenate(patches)
+    angles = ic_angle(patches)
+    desc = brief_descriptors(patches, angles)
+    return angles, desc
+
+
 @partial(jax.jit, static_argnames=())
 def describe(pyr_raw: jnp.ndarray, pyr_blur: jnp.ndarray, octave: jnp.ndarray, xy_level: jnp.ndarray):
     """Orientation + descriptors for a batch of keypoints.

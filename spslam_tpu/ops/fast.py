@@ -197,3 +197,52 @@ def detect_pyramid(
         "octave": jnp.concatenate(out_oct),
         "valid": jnp.concatenate(out_valid),
     }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "n_features", "th_high", "th_low", "border", "tile", "k_per_tile",
+    ),
+)
+def detect_levels(
+    levels,
+    spec: PyramidSpec,
+    n_features: int = 1024,
+    th_high: float = 20.0,
+    th_low: float = 7.0,
+    border: int = 19,
+    tile: int = 32,
+    k_per_tile: int = 8,
+):
+    """detect_pyramid over a TRUE-SIZE level tuple (build_pyramid_levels):
+    the FAST stencil + NMS run fused in VMEM (Pallas kernel on TPU,
+    ops/fast_pallas.py) at each level's real resolution instead of paying
+    full-resolution cost 8 times.  Same outputs as detect_pyramid; keypoints
+    stay grouped by level with STATIC per-level counts
+    (level_feature_counts), which downstream per-level gathers rely on.
+    """
+    from .fast_pallas import fast_nms_scores
+
+    counts = level_feature_counts(spec, n_features)
+    out_xy_l, out_xy0, out_score, out_oct, out_valid = [], [], [], [], []
+    for lvl in range(spec.n_levels):
+        h_l, w_l = spec.level_sizes[lvl]
+        score = fast_nms_scores(levels[lvl], th_low, th_high)
+        mask = jnp.zeros((h_l, w_l), dtype=bool)
+        mask = mask.at[border : h_l - border, border : w_l - border].set(True)
+        score = jnp.where(mask, score, 0.0)
+        kps = select_tiled_topk(score, counts[lvl], tile=tile, k_per_tile=k_per_tile)
+        s = spec.scale_factor ** lvl
+        out_xy_l.append(kps.xy)
+        out_xy0.append(kps.xy * s)
+        out_score.append(kps.score)
+        out_oct.append(jnp.full((kps.xy.shape[0],), lvl, dtype=jnp.int32))
+        out_valid.append(kps.valid)
+    return {
+        "xy_level": jnp.concatenate(out_xy_l),
+        "xy": jnp.concatenate(out_xy0),
+        "score": jnp.concatenate(out_score),
+        "octave": jnp.concatenate(out_oct),
+        "valid": jnp.concatenate(out_valid),
+    }

@@ -121,8 +121,16 @@ def pose_optimization(
         return jnp.sum(rho * inliers * valid)
 
     def lm_round(T, inliers):
-        def body(_, carry):
-            T, lam = carry
+        # while_loop with a convergence test: from a motion-model prediction
+        # LM typically converges in 2-4 iterations, so the early exit saves
+        # most of the fixed n_iters schedule (this loop is latency-bound on
+        # the sequential [N]-sized iterations, not flop-bound)
+        def cond(carry):
+            _, _, it, step2 = carry
+            return (it < n_iters) & (step2 > 1e-10)
+
+        def body(carry):
+            T, lam, it, _ = carry
             e, J, _ = _residuals_and_jac(T, pts_w, uv_obs, ur_obs, intr)
             chi2 = jnp.sum(e * e, axis=-1) * inv_sigma2
             w_rob = huber_weight(chi2, delta2)
@@ -141,9 +149,12 @@ def pose_optimization(
             better = cost_new < cost_cur
             T = jax.tree.map(lambda a, b_: jnp.where(better, a, b_), T_new, T)
             lam = jnp.where(better, lam * 0.5, lam * 4.0)
-            return T, lam
+            step2 = jnp.where(better, jnp.sum(dx * dx), jnp.float32(1e9))
+            return T, lam, it + 1, step2
 
-        T, _ = jax.lax.fori_loop(0, n_iters, body, (T, jnp.float32(1e-3)))
+        T, _, _, _ = jax.lax.while_loop(
+            cond, body, (T, jnp.float32(1e-3), jnp.int32(0), jnp.float32(1e9))
+        )
         return T
 
     T = T_cw_init

@@ -81,6 +81,9 @@ class System:
             from .tracking.pipeline import AsyncMappingPipeline
 
             self.pipeline = AsyncMappingPipeline(self)
+            # keyframe rate adapts to mapping throughput (the reference's
+            # bLocalMappingIdle gate in Tracking::NeedNewKeyFrame)
+            self.tracker.mapper_queue_fn = self.pipeline.queue_len
 
     # -----------------------------------------------------------------
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, ts: float):

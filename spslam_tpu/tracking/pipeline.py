@@ -48,6 +48,12 @@ class AsyncMappingPipeline:
         with self._cv:
             return not self._queue and not self._busy
 
+    def queue_len(self) -> int:
+        """Queued + in-flight keyframes (the reference's mlNewKeyFrames.size()
+        + busy indicator, used by the keyframe-insertion throttle)."""
+        with self._cv:
+            return len(self._queue) + (1 if self._busy else 0)
+
     def flush(self, timeout: float = 120.0):
         """Block until all queued keyframes are processed."""
         import time

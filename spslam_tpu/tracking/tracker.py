@@ -152,10 +152,13 @@ def _match_and_optimize(
     return opt, jnp.where(matched, res.idx, -1), matched
 
 
-@partial(jax.jit, static_argnames=("spec", "intr", "n_features"))
+@partial(
+    jax.jit,
+    static_argnames=("spec", "intr", "n_features", "th_high", "th_low", "depth_factor"),
+)
 def track_frame_step(
-    gray_u8, depth_u16, T_prev, T_prev2, has_vel,
-    pt_pack, pt_desc, pt_valid,
+    frame_u8, T_prev, T_prev2, has_vel,
+    pt_pack, pt_desc,
     radius_motion, radius2, th_depth,
     spec: PyramidSpec, intr: Intrinsics, n_features: int,
     th_high: float = 20.0, th_low: float = 7.0,
@@ -172,10 +175,25 @@ def track_frame_step(
     pose, so the ~tens-of-ms device tunnel round trip overlaps the next
     frame's device compute (software pipelining, depth 1).
 
-    The host performs a single device_get of small outputs; the FrameData
-    stays on device and is only downloaded when a keyframe is created.
-    (Per-stage host sync was the dominant cost over the TPU tunnel: device
-    compute is ~17 ms/frame, the old host orchestration ~300 ms.)
+    The host syncs on NOTHING here: the outputs are packed into four device
+    buffers whose device->host copies are started asynchronously right after
+    dispatch (copy_to_host_async) and consumed two frames later by
+    _resolve, so the ~24 ms tunnel round trip never lands on the frame
+    critical path.
+
+    Args:
+      frame_u8: [3, H, W] uint8 — plane 0 is the gray image, planes 1/2 are
+        the low/high bytes of the uint16 raw depth (ONE upload per frame;
+        per-buffer transfer latency over the tunnel dominates).
+      pt_pack: [PL, 9] f32 local-map snapshot (pos | normal | min_d | max_d
+        | valid).
+
+    Returns (frame, scal, match_pack, frame_pack, desc):
+      scal:       [12] f32 — T_cw[0:7], n1, n2, n_close_tracked, close_avail.
+      match_pack: [PL] int32 — -1 if unmatched, else kp_idx + (inlier<<20).
+      frame_pack: [N, 10] f32 — uv, octave, angle, depth, u_right, valid,
+                  xyz_cam (the keyframe-insertion bundle).
+      desc:       [N, 8] uint32.
     """
     from ..geometry.lie import se3_compose, se3_inverse
 
@@ -184,12 +202,15 @@ def track_frame_step(
     # no motion prior: double the window (covers fast inter-frame motion
     # right after init / relocalization)
     radius1 = jnp.where(has_vel, radius_motion, 2.0 * radius_motion)
-    gray = gray_u8.astype(jnp.float32)
-    depth = depth_u16.astype(jnp.float32) / depth_factor
+    gray = frame_u8[0].astype(jnp.float32)
+    depth = (
+        frame_u8[1].astype(jnp.float32) + frame_u8[2].astype(jnp.float32) * 256.0
+    ) / depth_factor
     pt_pos = pt_pack[:, 0:3]
     pt_normal = pt_pack[:, 3:6]
     pt_mind = pt_pack[:, 6]
     pt_maxd = pt_pack[:, 7]
+    pt_valid = pt_pack[:, 8] > 0.5
     pt_bits = unpack_bits(pt_desc)
     frame = build_frame(gray, depth, spec, intr, n_features=n_features,
                         th_high=th_high, th_low=th_low)
@@ -210,8 +231,23 @@ def track_frame_step(
     close_avail = jnp.sum(
         (frame.valid & (frame.depth > 1e-3) & (frame.depth < th_depth)).astype(jnp.int32)
     )
-    return (frame, opt2.T_cw, opt1.n_inliers, opt2.n_inliers, match_idx,
-            matched, opt2.inliers, n_close_tracked, close_avail)
+    scal = jnp.concatenate([
+        opt2.T_cw,
+        jnp.stack([
+            opt1.n_inliers.astype(jnp.float32),
+            opt2.n_inliers.astype(jnp.float32),
+            n_close_tracked.astype(jnp.float32),
+            close_avail.astype(jnp.float32),
+            jnp.float32(0.0),
+        ]),
+    ])
+    match_pack = jnp.where(
+        matched,
+        jnp.maximum(match_idx, 0) + jnp.where(opt2.inliers, 1 << 20, 0),
+        -1,
+    ).astype(jnp.int32)
+    frame_pack, desc = _pack_frame(frame)
+    return frame, scal, match_pack, frame_pack, desc
 
 
 @jax.jit
@@ -260,10 +296,18 @@ class Tracker:
         # Relocalization via KeyFrameDatabase + PnPsolver, SURVEY §2 #13/#15)
         self.relocalizer = None
         self._reloc_key = None
-        # pipelined-tracking state (process_pipelined)
-        self._pending: Optional[dict] = None      # in-flight dispatched frame
+        # mapper queue probe (set by System in async mode): the reference's
+        # Tracking::NeedNewKeyFrame gates ordinary insertion on
+        # bLocalMappingIdle and, for RGB-D, still inserts while busy as long
+        # as the mapping queue is short (<3) — keyframe rate adapts to
+        # mapping throughput
+        self.mapper_queue_fn = None
+        # pipelined-tracking state (process_pipelined): up to `pipeline_depth`
+        # in-flight dispatched frames (device compute + async D2H copies of
+        # frame N overlap the host bookkeeping of frames N-1, N-2)
+        self.pipeline_depth = 2
+        self._pending: list[dict] = []
         self._chain = None                         # (T_N, T_{N-1}) device poses
-        self._force_robust = False                 # in-flight frame used a bad chain
         import threading
 
         self._pose_corrected = threading.Event()   # set by loop-closure merge
@@ -291,14 +335,17 @@ class Tracker:
         return self.T_cw.copy(), self.state
 
     def _upload_frame(self, gray: np.ndarray, depth: np.ndarray):
-        gray_j = jnp.asarray(
-            gray if gray.dtype == np.uint8 else np.clip(gray, 0, 255).astype(np.uint8)
-        )
-        depth_j = jnp.asarray(
-            depth if depth.dtype == np.uint16
+        """Pack gray(u8) + depth(u16, as 2 u8 planes) into ONE [3, H, W] u8
+        upload — per-buffer transfer latency over the tunnel dominates."""
+        g = gray if gray.dtype == np.uint8 else np.clip(gray, 0, 255).astype(np.uint8)
+        d = (
+            depth
+            if depth.dtype == np.uint16
             else np.clip(depth * 5000.0, 0, 65535).astype(np.uint16)
         )
-        return gray_j, depth_j
+        d8 = d[None].view(np.uint8).reshape(depth.shape[0], depth.shape[1], 2)
+        buf = np.stack([g, d8[..., 0], d8[..., 1]])
+        return jnp.asarray(buf)
 
     def _dispatch(self, gray: np.ndarray, depth: np.ndarray, ts: float) -> dict:
         """Launch the fused device step for one frame (async, no sync).
@@ -307,11 +354,13 @@ class Tracker:
         un-fetched output poses of the previous dispatches, so back-to-back
         dispatches never wait on a host round trip.  After a chain reset
         (init, relocalization, loop correction) the chain is rebuilt from
-        the host pose/velocity.
+        the host pose/velocity.  Device->host copies of all outputs start
+        immediately (async); _resolve reads them 1-2 frames later without
+        paying the tunnel round trip.
         """
         cfg = self.cfg
-        gray_j, depth_j = self._upload_frame(gray, depth)
-        ids, pack, desc, valid = self._local_snapshot()
+        frame_j = self._upload_frame(gray, depth)
+        ids, pack, desc = self._local_snapshot()
         if self._pose_corrected.is_set():
             self._chain = None
             self._pose_corrected.clear()
@@ -326,35 +375,40 @@ class Tracker:
         else:
             T_prev = T_prev2 = jnp.asarray(self.T_cw)
             has_vel = False
-        out = track_frame_step(
-            gray_j, depth_j, T_prev, T_prev2, jnp.asarray(has_vel),
-            pack, desc, valid,
+        frame, scal, match_pack, frame_pack, fdesc = track_frame_step(
+            frame_j, T_prev, T_prev2, jnp.asarray(has_vel),
+            pack, desc,
             cfg.motion_search_radius, cfg.local_search_radius, cfg.th_depth,
             self.spec, self.intr, cfg.n_features,
             cfg.th_fast_high, cfg.th_fast_low,
         )
-        self._chain = (out[1], T_prev)  # (T_N device, T_{N-1} device)
-        p = dict(out=out, ids=ids, ts=ts, gray=gray, depth=depth,
-                 frame_id=self.frame_id)
+        T_new = scal[0:7]
+        for a in (scal, match_pack, frame_pack, fdesc):
+            a.copy_to_host_async()
+        self._chain = (T_new, T_prev)  # (T_N device, T_{N-1} device)
+        p = dict(frame=frame, scal=scal, match_pack=match_pack,
+                 frame_pack=frame_pack, desc=fdesc, ids=ids, ts=ts,
+                 gray=gray, depth=depth, frame_id=self.frame_id,
+                 force_robust=False)
         self.frame_id += 1
         return p
 
     def _resolve(self, p: dict) -> "FrameRecord":
-        """Fetch + host-process one dispatched frame: pose/velocity update,
-        map-point statistics, keyframe decision/insertion.  Falls back to
-        the robust multi-step path on tracking anomalies."""
+        """Host-process one dispatched frame whose async D2H copies have had
+        1-2 frames to land: pose/velocity update, map-point statistics,
+        keyframe decision/insertion.  Falls back to the robust multi-step
+        path on tracking anomalies."""
         cfg = self.cfg
-        frame = p["out"][0]
+        frame = p["frame"]
         prev_kf = self.last_kf
         # run host logic under the resolved frame's id (dispatches may have
         # advanced self.frame_id past it); restore afterwards
         fid_after = self.frame_id
         self.frame_id = p["frame_id"]
-        if self._force_robust:
-            # previous frame failed AFTER this one was dispatched with a bad
-            # prediction chain; the built FrameData is still valid, so rerun
-            # matching+optimization robustly from the corrected host pose
-            self._force_robust = False
+        if p["force_robust"]:
+            # an earlier frame failed AFTER this one was dispatched with a
+            # bad prediction chain; the built FrameData is still valid, so
+            # rerun matching+optimization robustly from the corrected pose
             self._chain = None
             self._track(frame, p["ts"])
             self.frame_id = fid_after
@@ -364,14 +418,16 @@ class Tracker:
                 new_kf=self.last_kf if self.last_kf != prev_kf else -1,
                 gray=p["gray"], depth=p["depth"],
             )
-        (T_new, n1, n2, match_idx, matched, inl, n_close_tracked, close_avail) = (
-            jax.device_get(p["out"][1:])
-        )
-        n1, n2 = int(n1), int(n2)
+        scal = np.asarray(p["scal"])
+        T_new = scal[0:7]
+        n1, n2 = int(scal[7]), int(scal[8])
+        n_close_tracked, close_avail = int(scal[9]), int(scal[10])
         if n1 < cfg.min_inliers_motion or n2 < cfg.kf_min_inliers:
-            # rare anomaly: rerun the robust path on the already-built frame
-            self._force_robust = self._pending is not None  # in-flight frame
-            self._chain = None          # used this frame's bad output pose
+            # rare anomaly: rerun the robust path on the already-built frame;
+            # frames dispatched after this one used its bad output pose
+            for q in self._pending:
+                q["force_robust"] = True
+            self._chain = None
             self._track(frame, p["ts"])
             self.frame_id = fid_after
             return FrameRecord(
@@ -387,18 +443,26 @@ class Tracker:
         self.frames_since_kf += 1
         self.last_inliers = n2
 
+        mp = np.asarray(p["match_pack"])
+        matched = mp >= 0
+        match_idx = np.where(matched, mp & ((1 << 20) - 1), -1)
+        inl = mp >= (1 << 20)
         mids = np.asarray(p["ids"])
         seen = mids[matched]
         self.store.pt_visible[seen[seen >= 0]] += 1
         found = mids[inl]
         self.store.pt_found[found[found >= 0]] += 1
 
-        need_kf = self._need_new_kf(n2, int(n_close_tracked), int(close_avail))
+        need_kf = self._need_new_kf(n2, n_close_tracked, close_avail)
         if need_kf:
+            frame_np = self._unpack_frame_np(
+                np.asarray(p["frame_pack"]), np.asarray(p["desc"])
+            )
             kf = self._insert_keyframe(
                 frame, p["ts"],
                 matches_pt_ids=np.where(inl, mids, -1),
                 match_kp_idx=match_idx,
+                frame_np=frame_np,
             )
             self.ref_kf = kf
             self.last_kf = kf
@@ -426,19 +490,19 @@ class Tracker:
         return self.T_cw.copy(), self.state
 
     def process_pipelined(self, gray: np.ndarray, depth: np.ndarray, ts: float):
-        """Depth-1 pipelined tracking: dispatch frame N, THEN resolve frame
-        N-1 (whose device work overlapped the host work since last call).
+        """Pipelined tracking (depth = self.pipeline_depth): dispatch frame
+        N, then resolve frame N-depth, whose device compute AND async D2H
+        copies overlapped the intervening host work — the ~24 ms tunnel
+        round trip never lands on the frame critical path.
 
         Returns a list of FrameRecord for frames that RESOLVED during this
-        call (usually the previous frame; the current frame's record arrives
-        on the next call or at flush_pipeline()).  Frame order is preserved.
+        call (usually one, `depth` calls behind; the rest arrive at
+        flush_pipeline()).  Frame order is preserved.
         """
         records = []
         if self.state in (TrackState.NOT_INITIALIZED, TrackState.LOST):
             # synchronous path until tracking is healthy
-            if self._pending is not None:
-                p, self._pending = self._pending, None
-                records.append(self._resolve(p))
+            records.extend(self.flush_pipeline())
             if self.state in (TrackState.NOT_INITIALIZED, TrackState.LOST):
                 prev_kf = self.last_kf
                 T, state = self.process(gray, depth, ts)
@@ -449,18 +513,16 @@ class Tracker:
                     gray=gray, depth=depth,
                 ))
                 return records
-        p = self._dispatch(gray, depth, ts)
-        old, self._pending = self._pending, p
-        if old is not None:
-            records.append(self._resolve(old))
+        self._pending.append(self._dispatch(gray, depth, ts))
+        while len(self._pending) > self.pipeline_depth:
+            records.append(self._resolve(self._pending.pop(0)))
         return records
 
     def flush_pipeline(self):
-        """Resolve any in-flight frame (call before reading final state)."""
+        """Resolve all in-flight frames (call before reading final state)."""
         records = []
-        if self._pending is not None:
-            p, self._pending = self._pending, None
-            records.append(self._resolve(p))
+        while self._pending:
+            records.append(self._resolve(self._pending.pop(0)))
         return records
 
     # -----------------------------------------------------------------
@@ -512,27 +574,28 @@ class Tracker:
         pad = cap - len(pts)
         ids = np.concatenate([pts, np.full(pad, -1, np.int32)])
         sel = np.maximum(ids, 0)
-        # one packed f32 upload (pos | normal | min_dist | max_dist) + desc +
-        # valid: 3 transfers instead of 7 (tunnel latency is per-buffer)
+        # one packed f32 upload (pos | normal | min_dist | max_dist | valid)
+        # + desc: 2 transfers instead of 7 (tunnel latency is per-buffer)
         pack_np = np.concatenate(
             [
                 st.pt_pos[sel],
                 st.pt_normal[sel],
                 st.pt_min_dist[sel][:, None],
                 st.pt_max_dist[sel][:, None],
+                (ids >= 0).astype(np.float32)[:, None],
             ],
             axis=-1,
         ).astype(np.float32)
         pack = jnp.asarray(pack_np)
         desc = jnp.asarray(st.pt_desc[sel])   # packed; unpacked on device
-        valid = jnp.asarray(ids >= 0)
-        return ids, pack, desc, valid
+        return ids, pack, desc
 
     def _track(self, frame: FrameData, ts: float):
         cfg = self.cfg
-        ids, pack, desc, valid = self._local_snapshot()
+        ids, pack, desc = self._local_snapshot()
         pos, normal = pack[:, 0:3], pack[:, 3:6]
         mind, maxd = pack[:, 6], pack[:, 7]
+        valid = pack[:, 8] > 0.5
         bits = unpack_bits(desc)
 
         # --- step 1: motion model (or last pose) coarse alignment ---------
@@ -661,11 +724,22 @@ class Tracker:
             and close_avail - n_close_tracked > 70
         )
         weak = n2 < 0.25 * ref_tracked
-        return self.frames_since_kf >= cfg.kf_max_interval or (
+        queue_len = 0 if self.mapper_queue_fn is None else self.mapper_queue_fn()
+        mapper_idle = queue_len == 0
+        # reference gating: c1a (max interval) | c1b (min interval + mapper
+        # idle) | c1c (weak tracking / urgent close points), all under c2;
+        # for RGB-D the reference then inserts even while the mapper is busy
+        # as long as its queue is short (InterruptBA + mlNewKeyFrames<3)
+        c1a = self.frames_since_kf >= cfg.kf_max_interval
+        c1b = self.frames_since_kf >= cfg.kf_min_interval and mapper_idle
+        c1c = weak or need_close
+        c2 = (
             (n2 < cfg.kf_tracked_ratio * ref_tracked or need_close)
             and n2 > cfg.kf_min_inliers
-            and (self.frames_since_kf >= cfg.kf_min_interval or weak)
         )
+        if not (c1a or ((c1b or c1c) and c2)):
+            return False
+        return mapper_idle or queue_len < 3 or c1a
 
     # -----------------------------------------------------------------
     def _relocalize(self, frame: FrameData):
@@ -724,6 +798,21 @@ class Tracker:
             self.metrics.append(dict(frame=self.frame_id, state="RELOC", cand=int(cand)))
             return T_cw
         return None
+
+    @staticmethod
+    def _unpack_frame_np(packed: np.ndarray, desc: np.ndarray) -> dict:
+        """Decode the [N, 10] f32 frame_pack + desc (already on host) into
+        the keyframe-insertion dict."""
+        return dict(
+            uv=packed[:, 0:2],
+            octave=packed[:, 2].astype(np.int32),
+            angle=packed[:, 3],
+            depth=packed[:, 4],
+            u_right=packed[:, 5],
+            valid=packed[:, 6] > 0.5,
+            xyz_cam=packed[:, 7:10],
+            desc=desc,
+        )
 
     def _frame_to_np(self, frame: FrameData) -> dict:
         # two device->host transfers for the whole frame bundle: one packed
