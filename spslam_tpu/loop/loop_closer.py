@@ -54,13 +54,21 @@ class LoopCloser:
         self.cfg = cfg
         self.vocab = vocab or Vocabulary()
         self.kfdb = KeyFrameDatabase()
+        # culled keyframes must stop being loop/reloc candidates (the
+        # reference's KeyFrame::SetBadFlag -> KeyFrameDatabase::erase)
+        store.erase_kf_hooks.append(self.kfdb.erase)
         self._consistent: list[tuple[set, int]] = []
         self.loop_edges: list[tuple[int, int, np.ndarray]] = []  # (i, j, T_ij rel)
         self.n_loops_closed = 0
         self._rng_key = jax.random.PRNGKey(17)
 
     # -----------------------------------------------------------------
-    def process_keyframe(self, kf: int) -> bool:
+    def process_keyframe(self, kf: int, detect: bool = True) -> bool:
+        """Index the new keyframe (vocab training + KFDB add) and, when
+        `detect`, run loop detection/closure.  With detect=False this serves
+        as the relocalization index maintainer for loop-less configs (the
+        reference always has the KeyFrameDatabase available to Tracking::
+        Relocalization even if loop closing were disabled)."""
         st = self.store
         valid_slots = st.kf_kp_valid[kf]
         descs = st.kf_desc[kf][valid_slots]
@@ -76,6 +84,9 @@ class LoopCloser:
                     d_k = st.kf_desc[k][st.kf_kp_valid[k]]
                     self.kfdb.add(k, self.vocab.bow_vector(d_k))
         bow = self.vocab.bow_vector(descs)
+        if not detect:
+            self.kfdb.add(kf, bow)
+            return False
 
         covis = st.covisibility(kf, min_weight=5)
         exclude = set(int(c) for c in covis) | {int(kf)}
@@ -85,12 +96,16 @@ class LoopCloser:
             or kf - k < self.cfg.min_interval_kfs
         }
         # reference min-score gate: candidates must score at least as high as
-        # the weakest covisible keyframe (DetectLoop's minScore)
+        # the weakest covisible keyframe (DetectLoop's minScore).  The min is
+        # over ALL covisible keyframes — weakly connected neighbors pull the
+        # gate down, exactly like the reference; gating on only the strongest
+        # neighbors (scores ~0.3 between consecutive frames) rejects genuine
+        # revisit candidates and resets the consistency chain (round-2 bug).
         min_score = 0.015
         covis_scores = [
             s for s in (
                 bow_similarity(bow, self.kfdb.bow.get(int(c), {}))
-                for c in covis[:10]
+                for c in covis
             ) if s > 0
         ]
         if covis_scores:
@@ -102,10 +117,29 @@ class LoopCloser:
             return False
 
         # --- covisibility-consistency over consecutive detections ---------
+        cand_groups = [
+            (cand, set(int(c) for c in st.covisibility(cand, min_weight=5)) | {cand})
+            for cand, _score in cands
+        ]
+        accepted = self._consistency_check(cand_groups)
+
+        # geometric verification on every consistent candidate until one
+        # passes (the reference iterates candidates in ComputeSim3 too)
+        for cand in accepted:
+            if self._close_loop(kf, cand):
+                return True
+        return False
+
+    # -----------------------------------------------------------------
+    def _consistency_check(self, cand_groups: list[tuple[int, set]]) -> list[int]:
+        """Reference DetectLoop's covisibility-consistency accumulator: a
+        candidate is accepted once its covisibility group has intersected a
+        group from each of the previous `consistency_needed - 1` consecutive
+        detections.  Pure state-machine step over (candidate, group) pairs —
+        unit-tested in tests/unit/test_loop_detector.py."""
         accepted: list[int] = []
         new_groups = []
-        for cand, score in cands:
-            group = set(int(c) for c in st.covisibility(cand, min_weight=5)) | {cand}
+        for cand, group in cand_groups:
             count = 0
             for prev_group, prev_count in self._consistent:
                 if group & prev_group:
@@ -114,13 +148,7 @@ class LoopCloser:
             if count + 1 >= self.cfg.consistency_needed:
                 accepted.append(cand)
         self._consistent = new_groups
-
-        # geometric verification on every consistent candidate until one
-        # passes (the reference iterates candidates in ComputeSim3 too)
-        for cand in accepted:
-            if self._close_loop(kf, cand):
-                return True
-        return False
+        return accepted
 
     # -----------------------------------------------------------------
     def _close_loop(self, kf: int, cand: int) -> bool:
@@ -136,71 +164,42 @@ class LoopCloser:
         old_poses = st.kf_pose.copy()
         self._optimize_graph(kf, cand)
         self._correct_points(old_poses)
+        self._fuse_loop_ends(kf, cand)
         self._global_refine()
         self.n_loops_closed += 1
         self._consistent = []
         return True
 
     # -----------------------------------------------------------------
-    def _global_refine(self, n_iters: int = 10):
-        """Global map settle after the pose-graph correction — the
-        reference's RunGlobalBundleAdjustment, implemented as batched
-        alternating resection-intersection (solver/ba.py refine_alternating)."""
-        import jax.numpy as jnp
-
-        from ..solver.ba import refine_alternating
-        from ..solver.robust import octave_inv_sigma2
+    def _fuse_loop_ends(self, kf: int, cand: int):
+        """Merge the duplicated landmarks the two loop ends created for the
+        same structure (the reference's LoopClosing::SearchAndFuse): project
+        the loop side's map points into the current side's keyframes with
+        the corrected poses and fuse."""
+        from ..mapping.fuse import fuse_into_keyframes
 
         st = self.store
-        K = st.cfg.max_keyframes
-        pts = np.nonzero(st.pt_valid)[0]
-        if len(pts) < 50:
-            return
-        # flatten all observations from the per-point tables (vectorized)
-        kf_arr = st.pt_obs_kf[pts]                      # [Np, O]
-        slot_arr = st.pt_obs_slot[pts]
-        ok = (kf_arr >= 0) & st.kf_valid[np.maximum(kf_arr, 0)]
-        pt_idx = np.broadcast_to(np.arange(len(pts))[:, None], kf_arr.shape)
-        oc = kf_arr[ok].astype(np.int32)
-        op = pt_idx[ok].astype(np.int32)
-        sl = slot_arr[ok]
-        ouv = st.kf_uv[oc, sl]
-        our = st.kf_ur[oc, sl]
-        ois = np.asarray(octave_inv_sigma2(jnp.asarray(st.kf_octave[oc, sl])))
+        loop_kfs = np.concatenate(
+            [[cand], st.covisibility(cand, min_weight=5)[:8]]
+        ).astype(np.int64)
+        loop_pts = st.kf_obs[loop_kfs].ravel()
+        loop_pts = np.unique(loop_pts[loop_pts >= 0])
+        loop_pts = loop_pts[st.pt_valid[loop_pts]]
+        cur_kfs = np.concatenate(
+            [[kf], st.covisibility(kf, min_weight=5)[:8]]
+        ).astype(np.int32)
+        fuse_into_keyframes(st, self.intr, loop_pts, cur_kfs)
 
-        def pad_to(x, n, fill=0):
-            out = np.full((n,) + x.shape[1:], fill, x.dtype)
-            out[: len(x)] = x
-            return out
+    # -----------------------------------------------------------------
+    def _global_refine(self):
+        """Full global bundle adjustment after the pose-graph correction —
+        the reference's RunGlobalBundleAdjustment (src/LoopClosing.cc §3.3):
+        a short alternating settle to absorb the PGO correction, then full
+        Schur-complement LM over ALL valid keyframes/points/planes
+        (solver/global_ba.py)."""
+        from ..solver.global_ba import global_bundle_adjust
 
-        def pow2(n):
-            p = 1024
-            while p < n:
-                p *= 2
-            return p
-
-        R = pow2(len(oc))
-        P = pow2(len(pts))
-        pose_fixed = ~st.kf_valid.copy()
-        valid_kfs = np.nonzero(st.kf_valid)[0]
-        if len(valid_kfs):
-            pose_fixed[valid_kfs[0]] = True  # gauge
-        points_pad = pad_to(st.pt_pos[pts], P)
-        pvalid = np.zeros(P, bool)
-        pvalid[: len(pts)] = True
-        new_poses, new_points = refine_alternating(
-            jnp.asarray(st.kf_pose), jnp.asarray(pose_fixed),
-            jnp.asarray(points_pad), jnp.asarray(pvalid),
-            jnp.asarray(pad_to(oc, R)), jnp.asarray(pad_to(op, R)),
-            jnp.asarray(pad_to(ouv, R)), jnp.asarray(pad_to(our, R, -1.0)),
-            jnp.asarray(pad_to(ois, R)),
-            jnp.asarray(pad_to(np.ones(len(oc), np.float32), R)),
-            self.intr, n_iters=n_iters,
-        )
-        with st.lock:
-            st.kf_pose[st.kf_valid] = np.asarray(new_poses)[st.kf_valid]
-            st.pt_pos[pts] = np.asarray(new_points)[: len(pts)]
-            st.version += 1
+        global_bundle_adjust(self.store, self.intr)
 
     def _geometric_check(self, kf: int, cand: int):
         """MXU descriptor match + 3D-3D RANSAC between two keyframes."""

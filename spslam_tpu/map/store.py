@@ -22,6 +22,9 @@ from dataclasses import dataclass
 
 import numpy as np
 
+# byte -> popcount lookup table (for pairwise Hamming over packed descriptors)
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.uint8)
+
 
 @dataclass
 class MapConfig:
@@ -95,6 +98,10 @@ class MapStore:
         self.ppe_type = np.zeros(0, np.int32)  # 0 parallel, 1 perpendicular
         # monotonically increasing map version (bumped by any writer)
         self.version = 0
+        # callbacks invoked with the KF id when a keyframe is erased (the
+        # reference's KeyFrame::SetBadFlag notifies the KeyFrameDatabase so
+        # culled KFs stop being loop/reloc candidates — SURVEY.md §2 #13)
+        self.erase_kf_hooks: list = []
 
     # ------------------------------------------------------------------
     # keyframes
@@ -135,12 +142,15 @@ class MapStore:
         children = np.nonzero((self.kf_parent == k) & self.kf_valid)[0]
         self.kf_parent[children] = self.kf_parent[k]
         self.version += 1
+        for hook in self.erase_kf_hooks:
+            hook(k)
 
     # ------------------------------------------------------------------
     # points
     # ------------------------------------------------------------------
 
-    def add_point(self, pos, desc, normal, ref_kf: int, dist: float) -> int:
+    def add_point(self, pos, desc, normal, ref_kf: int, dist: float,
+                  octave: int = 0) -> int:
         p = self.n_pt
         assert p < self.cfg.max_points, "map point capacity exceeded"
         self.pt_pos[p] = pos
@@ -149,8 +159,11 @@ class MapStore:
         self.pt_ref_kf[p] = ref_kf
         self.pt_first_kf[p] = ref_kf
         # scale-invariance range like the reference (MapPoint ctor):
-        self.pt_min_dist[p] = dist / 1.2 ** 8
-        self.pt_max_dist[p] = dist * 1.2 ** 2
+        # mfMaxDistance = dist * 1.2^birth_octave (NOT a fixed +2 slack —
+        # that biased PredictScale by 2 levels and the matcher's +-1 octave
+        # gate then rejected correct matches)
+        self.pt_max_dist[p] = dist * 1.2 ** octave
+        self.pt_min_dist[p] = self.pt_max_dist[p] / 1.2 ** 8
         self.pt_valid[p] = True
         self.pt_n_obs[p] = 0
         self.pt_visible[p] = 1
@@ -159,7 +172,8 @@ class MapStore:
         self.version += 1
         return p
 
-    def add_points_bulk(self, pos, desc, normal, dist, ref_kf: int, slots) -> np.ndarray:
+    def add_points_bulk(self, pos, desc, normal, dist, ref_kf: int, slots,
+                        octave=None) -> np.ndarray:
         """Vectorized creation of n new points observed by (ref_kf, slots).
 
         Returns the new point ids.  Equivalent to n x (add_point +
@@ -172,8 +186,9 @@ class MapStore:
         self.pt_pos[ids] = pos
         self.pt_desc[ids] = desc
         self.pt_normal[ids] = normal
-        self.pt_min_dist[ids] = dist / 1.2 ** 8
-        self.pt_max_dist[ids] = dist * 1.2 ** 2
+        level = 1.2 ** octave if octave is not None else 1.0
+        self.pt_max_dist[ids] = dist * level
+        self.pt_min_dist[ids] = self.pt_max_dist[ids] / 1.2 ** 8
         self.pt_ref_kf[ids] = ref_kf
         self.pt_first_kf[ids] = ref_kf
         self.pt_valid[ids] = True
@@ -353,38 +368,55 @@ class MapStore:
         return pts[self.pt_valid[pts]].astype(np.int32)
 
     def update_point_stats(self, pts: np.ndarray):
-        """Refresh distinctive descriptor + normal for the given points from
-        their observations (MapPoint::ComputeDistinctiveDescriptors +
-        UpdateNormalAndDepth).  Vectorized per point over its <=O obs."""
-        for p in np.asarray(pts):
-            n = self.pt_n_obs[p]
-            if n == 0 or not self.pt_valid[p]:
-                continue
-            kfs = self.pt_obs_kf[p, :n]
-            slots = self.pt_obs_slot[p, :n]
-            descs = self.kf_desc[kfs, slots]  # [n, 8] uint32
-            if n >= 3:
-                bits = np.unpackbits(descs.view(np.uint8), axis=-1)
-                dist = (bits[:, None, :] != bits[None, :, :]).sum(-1)
-                medians = np.median(dist, axis=1)
-                best = int(np.argmin(medians))
-            else:
-                best = n - 1
-            self.pt_desc[p] = descs[best]
-            # normal: mean unit vector from observing cameras to point
-            centers = self._camera_centers(kfs)
-            vecs = self.pt_pos[p][None, :] - centers
-            norms = np.linalg.norm(vecs, axis=-1, keepdims=True)
-            vecs = vecs / np.maximum(norms, 1e-9)
-            nrm = vecs.mean(0)
-            self.pt_normal[p] = nrm / max(np.linalg.norm(nrm), 1e-9)
-            # scale range from reference KF
-            ref = kfs[-1]
-            dist_ref = np.linalg.norm(self.pt_pos[p] - self._camera_centers(np.array([ref]))[0])
-            oct_ref = self.kf_octave[ref, slots[-1]]
-            level_factor = 1.2 ** oct_ref
-            self.pt_max_dist[p] = dist_ref * level_factor
-            self.pt_min_dist[p] = self.pt_max_dist[p] / 1.2 ** 8
+        """Refresh distinctive descriptor + normal + scale range for the
+        given points from their observations (the reference's MapPoint::
+        ComputeDistinctiveDescriptors + UpdateNormalAndDepth,
+        src/MapPoint.cc — SURVEY.md §2 #6).  Fully vectorized over the
+        whole point batch AND each point's <=O observations."""
+        pts = np.asarray(pts, np.int64).reshape(-1)
+        if len(pts) == 0:
+            return
+        pts = pts[self.pt_valid[pts] & (self.pt_n_obs[pts] > 0)]
+        if len(pts) == 0:
+            return
+        kfs = self.pt_obs_kf[pts]        # [n, O]
+        slots = self.pt_obs_slot[pts]    # [n, O]
+        has = kfs >= 0
+        kfs_s = np.maximum(kfs, 0)
+        slots_s = np.maximum(slots, 0)
+        descs = self.kf_desc[kfs_s, slots_s]             # [n, O, 8] uint32
+        # distinctive descriptor: min median pairwise Hamming distance
+        # (XOR + popcount LUT — ~100x lighter than a 256-wide bit expansion)
+        by = descs.view(np.uint8).reshape(descs.shape[0], descs.shape[1], 32)
+        xor = by[:, :, None, :] ^ by[:, None, :, :]      # [n, O, O, 32]
+        dist = _POPCNT8[xor].sum(-1, dtype=np.int32).astype(np.float32)
+        pair_ok = has[:, :, None] & has[:, None, :]
+        dist = np.where(pair_ok, dist, np.nan)
+        dist[~has] = 0.0  # rows of invalid obs: keep non-NaN (masked below)
+        med = np.nanmedian(dist, axis=2)                 # [n, O]
+        med = np.where(has, med, np.inf)
+        best = np.argmin(med, axis=1)
+        rows = np.arange(len(pts))
+        self.pt_desc[pts] = descs[rows, best]
+        # normal: mean unit vector from observing camera centers to point
+        centers = self._camera_centers(kfs_s.ravel()).reshape(kfs.shape + (3,))
+        vecs = self.pt_pos[pts][:, None, :] - centers    # [n, O, 3]
+        norms = np.linalg.norm(vecs, axis=-1, keepdims=True)
+        vecs = np.where(has[..., None], vecs / np.maximum(norms, 1e-9), 0.0)
+        nrm = vecs.sum(1) / np.maximum(has.sum(1)[:, None], 1)
+        self.pt_normal[pts] = nrm / np.maximum(
+            np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9
+        )
+        # scale-invariance range from the most recent observation
+        last = np.maximum(has.sum(1) - 1, 0)
+        ref_kf = kfs_s[rows, last]
+        ref_slot = slots_s[rows, last]
+        dist_ref = np.linalg.norm(
+            self.pt_pos[pts] - self._camera_centers(ref_kf), axis=-1
+        )
+        level_factor = 1.2 ** self.kf_octave[ref_kf, ref_slot]
+        self.pt_max_dist[pts] = dist_ref * level_factor
+        self.pt_min_dist[pts] = self.pt_max_dist[pts] / 1.2 ** 8
 
     def _camera_centers(self, kf_ids: np.ndarray) -> np.ndarray:
         from ..geometry.np_lie import camera_center

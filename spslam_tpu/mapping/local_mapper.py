@@ -31,13 +31,15 @@ class MapperConfig:
     ba_max_free: int = 16
     ba_max_points: int = 4096
     ba_max_obs: int = 16384
-    ba_obs_per_point: int = 6
+    ba_obs_per_point: int = 16    # = MapConfig.max_obs_per_point: NO silent
+                                  # cross-term loss (was 6; see BASELINE.md)
     ba_max_planes: int = 16
     ba_max_plane_obs: int = 64
     ba_max_pp_edges: int = 32
     cull_found_ratio: float = 0.25
     cull_min_obs: int = 3
     kf_cull_redundancy: float = 0.9
+    fuse_neighbors: bool = True   # SearchInNeighbors -> ORBmatcher::Fuse
     ba_every: int = 2             # run local BA every N keyframes (the
                                   # reference aborts BA when KFs queue up)
     ba_stage1_iters: int = 4      # LM iterations before the chi2 gate
@@ -58,7 +60,22 @@ class LocalMapper:
             self._recent_points.append((int(p), kf))
 
     def process_keyframe(self, kf: int, run_ba: bool = True):
+        # MapPoint maintenance for points the new keyframe observes (the
+        # reference's ProcessNewKeyFrame: ComputeDistinctiveDescriptors +
+        # UpdateNormalAndDepth on every associated landmark)
+        st = self.store
+        pts = st.kf_obs[kf]
+        pts = pts[pts >= 0]
+        with st.lock:
+            st.update_point_stats(pts)
         self.cull_points(kf)
+        if self.cfg.fuse_neighbors and self.store.n_kf >= 3:
+            # duplicate-landmark fusion with covisible neighbors (the
+            # reference's SearchInNeighbors -> ORBmatcher::Fuse, run for
+            # every processed keyframe before the local BA)
+            from .fuse import search_in_neighbors
+
+            search_in_neighbors(self.store, self.intr, kf)
         due = self.store.n_kf <= 5 or (self.store.n_kf % self.cfg.ba_every == 0)
         if run_ba and self.store.n_kf >= 3 and due:
             self.local_ba(kf)

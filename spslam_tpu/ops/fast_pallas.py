@@ -13,7 +13,9 @@ Ring shifts become sublane slices (row offset) + lane rotations
 in the 4-pixel pad frame, never in the valid score region.
 
 Semantics match ops/fast.py exactly (same score definition, same NMS
-tie-breaking), which the parity test asserts bit-for-bit.
+tie-breaking) inside the 19-px detection border —
+tests/tpu/test_pallas_parity.py asserts bit-exact parity on chip
+(`pytest -m tpu tests/`); the CPU lane exercises the jnp fallback.
 """
 
 from __future__ import annotations

@@ -213,6 +213,45 @@ def dist_bundle_adjust(
 # ---------------------------------------------------------------------------
 
 
+def _cumcount(keys: np.ndarray) -> np.ndarray:
+    """Occurrence index of each element within its key group (vectorized)."""
+    if len(keys) == 0:
+        return np.zeros(0, np.int64)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    new_group = np.r_[True, sk[1:] != sk[:-1]]
+    group_start = np.maximum.accumulate(np.where(new_group, np.arange(len(sk)), 0))
+    cc = np.arange(len(sk)) - group_start
+    out = np.empty(len(keys), np.int64)
+    out[order] = cc
+    return out
+
+
+def assign_segments(pt_ref_kf: np.ndarray, n_kfs: int, n_shards: int) -> np.ndarray:
+    """Trajectory-segment / map-block partitioning (the BASELINE.json north
+    star): split the keyframe trajectory into n_shards CONTIGUOUS temporal
+    segments, balanced by the number of map points each segment owns, and
+    assign every point to its owning (reference) keyframe's segment.  Each
+    shard thus holds a trajectory segment plus the map block it created —
+    observations stay shard-local, inter-segment coupling flows only through
+    the psum-reduced camera system (the boundary-KF "halo" is implicit in
+    the replicated pose vector).
+
+    Returns shard_of_pt [P] int.
+    """
+    pt_ref_kf = np.clip(np.asarray(pt_ref_kf, np.int64), 0, n_kfs - 1)
+    counts = np.bincount(pt_ref_kf, minlength=n_kfs)
+    cum = np.cumsum(counts)
+    total = max(int(cum[-1]), 1)
+    # a keyframe joins the segment its point-mass midpoint falls into —
+    # contiguous (cum is monotone) and balanced by construction
+    mid = cum - counts / 2.0
+    segment_of_kf = np.minimum(
+        (mid * n_shards / total).astype(np.int64), n_shards - 1
+    )
+    return segment_of_kf[pt_ref_kf]
+
+
 def partition_problem(
     poses: np.ndarray,
     pose_fixed: np.ndarray,
@@ -224,52 +263,70 @@ def partition_problem(
     obs_inv_sigma2: np.ndarray,
     n_shards: int,
     obs_per_point: int = 16,
+    pt_ref_kf: np.ndarray | None = None,
+    strategy: str = "segments",
 ) -> DistBAProblem:
-    """Partition landmarks (with their observations) round-robin into shards.
+    """Partition landmarks (with their observations) into shards — fully
+    vectorized (no per-observation Python loops).
 
-    Round-robin over point index approximates trajectory-segment blocking
-    because points are created in keyframe order.
+    strategy="segments" (default): keyframe trajectory-segment + map-block
+    partitioning via assign_segments (each point lands on the shard of its
+    owning keyframe; pt_ref_kf defaults to each point's first observing
+    camera).  strategy="round_robin": the round-1 layout, kept for A/B
+    comparisons.
     """
     n_pts = len(points)
-    shard_of_pt = np.arange(n_pts) % n_shards
-    local_idx = np.zeros(n_pts, np.int64)
-    for s in range(n_shards):
-        ids = np.nonzero(shard_of_pt == s)[0]
-        local_idx[ids] = np.arange(len(ids))
-    Ps = int(np.ceil(n_pts / n_shards))
-    Rs = 0
-    obs_by_shard = [[] for _ in range(n_shards)]
-    for r in range(len(obs_cam)):
-        obs_by_shard[shard_of_pt[obs_pt[r]]].append(r)
-    Rs = max(max(len(o) for o in obs_by_shard), 1)
-
     D = n_shards
+    obs_cam = np.asarray(obs_cam, np.int32)
+    obs_pt = np.asarray(obs_pt, np.int64)
+
+    if strategy == "segments":
+        if pt_ref_kf is None:
+            # owning keyframe = first observing camera (vectorized: minimum
+            # obs row per point is its creation observation)
+            pt_ref_kf = np.zeros(n_pts, np.int64)
+            first = np.full(n_pts, len(obs_cam), np.int64)
+            np.minimum.at(first, obs_pt, np.arange(len(obs_cam)))
+            seen = first < len(obs_cam)
+            pt_ref_kf[seen] = obs_cam[first[seen]]
+        shard_of_pt = assign_segments(pt_ref_kf, len(poses), D)
+    elif strategy == "round_robin":
+        shard_of_pt = np.arange(n_pts) % D
+    else:
+        raise ValueError(f"unknown partition strategy: {strategy}")
+
+    # local (within-shard) point indices, vectorized
+    local_idx = _cumcount(shard_of_pt)
+    counts_sh = np.bincount(shard_of_pt, minlength=D)
+    Ps = max(int(counts_sh.max()), 1)
+
     pts_sh = np.zeros((D, Ps, 3), np.float32)
     ptv_sh = np.zeros((D, Ps), bool)
+    pts_sh[shard_of_pt, local_idx] = points
+    ptv_sh[shard_of_pt, local_idx] = True
+
+    # observations follow their point's shard
+    shard_of_obs = shard_of_pt[obs_pt]
+    j = _cumcount(shard_of_obs)
+    Rs = max(int(np.bincount(shard_of_obs, minlength=D).max()), 1)
     oc = np.zeros((D, Rs), np.int32)
     op = np.zeros((D, Rs), np.int32)
     ouv = np.zeros((D, Rs, 2), np.float32)
     our = np.full((D, Rs), -1.0, np.float32)
     ois = np.ones((D, Rs), np.float32)
     ov = np.zeros((D, Rs), bool)
-    pt_obs = np.full((D, Ps, obs_per_point), -1, np.int32)
+    oc[shard_of_obs, j] = obs_cam
+    op[shard_of_obs, j] = local_idx[obs_pt]
+    ouv[shard_of_obs, j] = obs_uv
+    our[shard_of_obs, j] = obs_ur
+    ois[shard_of_obs, j] = obs_inv_sigma2
+    ov[shard_of_obs, j] = True
 
-    for s in range(D):
-        ids = np.nonzero(shard_of_pt == s)[0]
-        pts_sh[s, : len(ids)] = points[ids]
-        ptv_sh[s, : len(ids)] = True
-        counts = np.zeros(Ps, np.int32)
-        for j, r in enumerate(obs_by_shard[s]):
-            p_loc = local_idx[obs_pt[r]]
-            oc[s, j] = obs_cam[r]
-            op[s, j] = p_loc
-            ouv[s, j] = obs_uv[r]
-            our[s, j] = obs_ur[r]
-            ois[s, j] = obs_inv_sigma2[r]
-            ov[s, j] = True
-            if counts[p_loc] < obs_per_point:
-                pt_obs[s, p_loc, counts[p_loc]] = j
-                counts[p_loc] += 1
+    # per-point observation table (for the Schur pair terms), vectorized
+    pt_obs = np.full((D, Ps, obs_per_point), -1, np.int32)
+    occ = _cumcount(obs_pt)
+    keep = occ < obs_per_point
+    pt_obs[shard_of_obs[keep], local_idx[obs_pt[keep]], occ[keep]] = j[keep]
 
     return DistBAProblem(
         poses=jnp.asarray(poses),
@@ -285,3 +342,56 @@ def partition_problem(
         obs_valid=jnp.asarray(ov),
         pt_obs=jnp.asarray(pt_obs),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-host entry
+# ---------------------------------------------------------------------------
+
+
+def init_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Guarded jax.distributed.initialize for multi-host meshes.
+
+    Reads SPSLAM_COORDINATOR / SPSLAM_NUM_PROCESSES / SPSLAM_PROCESS_ID when
+    arguments are omitted; a no-op (returns False) when no coordinator is
+    configured, so single-host runs never touch the distributed runtime.
+    Returns True when a multi-process runtime is (already) up.
+    """
+    import os
+
+    import jax
+
+    try:
+        if jax.process_count() > 1:
+            return True
+    except Exception:
+        pass
+    coordinator = coordinator or os.environ.get("SPSLAM_COORDINATOR")
+    if not coordinator:
+        return False
+    num_processes = num_processes or int(os.environ.get("SPSLAM_NUM_PROCESSES", "0"))
+    process_id = (
+        process_id
+        if process_id is not None
+        else int(os.environ.get("SPSLAM_PROCESS_ID", "0"))
+    )
+    if not num_processes:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def global_mesh(axis: str = "ba") -> Mesh:
+    """1-D mesh over every addressable device across all processes (falls
+    back to the local devices on a single host)."""
+    import jax
+
+    return Mesh(np.array(jax.devices()), (axis,))

@@ -246,7 +246,13 @@ def _inv3x3(A):
     A21 = b * g - a * h
     A22 = a * e - b * d
     det = a * A00 + b * A10 + c * A20
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    # singular guard scaled to the block magnitude: a block is "singular"
+    # when |det| is tiny RELATIVE to its trace^3 (absolute 1e-12 misfires on
+    # small-but-valid blocks); singular blocks get a ZERO inverse (no update)
+    # rather than a bogus adjugate-scaled one
+    scale = jnp.maximum((a + e + i) / 3.0, 1e-12)
+    singular = jnp.abs(det) <= 1e-10 * scale ** 3
+    inv_det = jnp.where(singular, 0.0, 1.0 / jnp.where(singular, 1.0, det))
     adj = jnp.stack(
         [
             jnp.stack([A00, A01, A02], -1),

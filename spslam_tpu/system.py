@@ -34,6 +34,9 @@ class SystemConfig:
     map: MapConfig = field(default_factory=MapConfig)
     use_planes: bool = False
     use_loop: bool = False
+    enable_reloc: bool = True     # keep vocab+KFDB maintained even without
+                                  # loop closing so LOST is recoverable (the
+                                  # reference's KeyFrameDatabase always exists)
     async_mapping: bool = False   # run mapping/loop on a background thread
     local_ba: bool = True
     localization_only: bool = False
@@ -55,7 +58,7 @@ class System:
             pcfg = cfg.plane_cfg or PlaneMapperConfig()
             self.plane_mapper = PlaneMapper(cfg.intr, self.store, pcfg)
         self.loop_closer = None
-        if cfg.use_loop:
+        if cfg.use_loop or cfg.enable_reloc:
             import os
 
             from .loop.loop_closer import LoopCloser

@@ -872,5 +872,8 @@ class Tracker:
             dist = np.linalg.norm(vec, axis=-1)
             normal = vec / np.maximum(dist[:, None], 1e-9)
             with st.lock:
-                st.add_points_bulk(pos_w, frame_np["desc"][order], normal, dist, kf, order)
+                st.add_points_bulk(
+                    pos_w, frame_np["desc"][order], normal, dist, kf, order,
+                    octave=frame_np["octave"][order],
+                )
         return kf

@@ -50,13 +50,13 @@ def max_pose_err(est, true):
     return max(errs)
 
 
-@pytest.mark.parametrize("n_shards", [2, 8])
-def test_dist_ba_converges(n_shards):
+@pytest.mark.parametrize("n_shards,strategy", [(2, "segments"), (8, "segments"), (8, "round_robin")])
+def test_dist_ba_converges(n_shards, strategy):
     assert jax.device_count() >= n_shards, "need virtual CPU devices (conftest)"
     (poses_init, fixed, pts_init, oc, op, ouv, our, poses_true, pts_true) = make_problem()
     prob = partition_problem(
         poses_init, fixed, pts_init, oc, op, ouv, our,
-        np.ones(len(oc), np.float32), n_shards,
+        np.ones(len(oc), np.float32), n_shards, strategy=strategy,
     )
     mesh = Mesh(np.array(jax.devices()[:n_shards]), ("ba",))
     poses, points, cost = dist_bundle_adjust(prob, INTR, mesh, n_iters=12)
@@ -66,13 +66,16 @@ def test_dist_ba_converges(n_shards):
     assert fin_err < 8e-3
 
 
-def test_dist_matches_single_shard():
+@pytest.mark.parametrize("d_hi", [4, 8])
+def test_dist_matches_single_shard(d_hi):
+    """Shard invariance on the trajectory-segment partitioning: 1 shard vs
+    d_hi shards must produce the same poses to 1e-4."""
     (poses_init, fixed, pts_init, oc, op, ouv, our, poses_true, _) = make_problem(n_cams=5, n_pts=256)
     results = []
-    for d in (1, 4):
+    for d in (1, d_hi):
         prob = partition_problem(
             poses_init, fixed, pts_init, oc, op, ouv, our,
-            np.ones(len(oc), np.float32), d,
+            np.ones(len(oc), np.float32), d, strategy="segments",
         )
         mesh = Mesh(np.array(jax.devices()[:d]), ("ba",))
         poses, _, cost = dist_bundle_adjust(prob, INTR, mesh, n_iters=10)
@@ -80,3 +83,52 @@ def test_dist_matches_single_shard():
     # identical optimization math regardless of shard count
     assert abs(results[0][1] - results[1][1]) / max(results[0][1], 1e-9) < 1e-3
     np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-4)
+
+
+class TestPartitioning:
+    def test_segments_contiguous_and_balanced(self):
+        from spslam_tpu.parallel.dist_ba import assign_segments
+
+        rng2 = np.random.default_rng(3)
+        n_kfs, n_pts, D = 40, 4000, 8
+        pt_ref_kf = np.sort(rng2.integers(0, n_kfs, n_pts))
+        shard = assign_segments(pt_ref_kf, n_kfs, D)
+        # each keyframe's points land on ONE shard; shards cover contiguous
+        # keyframe ranges (trajectory segments)
+        seg_of_kf = np.full(n_kfs, -1)
+        for k in range(n_kfs):
+            s = np.unique(shard[pt_ref_kf == k])
+            assert len(s) <= 1
+            if len(s):
+                seg_of_kf[k] = s[0]
+        present = seg_of_kf[seg_of_kf >= 0]
+        assert (np.diff(present) >= 0).all()  # contiguous in time
+        counts = np.bincount(shard, minlength=D)
+        assert counts.max() < 2.0 * n_pts / D  # balanced within 2x
+
+    def test_partition_round_trips_observations(self):
+        (poses_init, fixed, pts_init, oc, op, ouv, our, _, _) = make_problem(
+            n_cams=4, n_pts=64
+        )
+        prob = partition_problem(
+            poses_init, fixed, pts_init, oc, op, ouv, our,
+            np.ones(len(oc), np.float32), 4, strategy="segments",
+        )
+        assert int(prob.obs_valid.sum()) == len(oc)
+        assert int(prob.point_valid.sum()) == len(pts_init)
+        # every observation's (camera, uv) survives partitioning
+        got = set()
+        ov = np.asarray(prob.obs_valid)
+        ocam = np.asarray(prob.obs_cam)
+        ouv_sh = np.asarray(prob.obs_uv)
+        for s in range(4):
+            for j in np.nonzero(ov[s])[0]:
+                got.add((int(ocam[s, j]), round(float(ouv_sh[s, j, 0]), 3)))
+        want = {(int(c), round(float(u[0]), 3)) for c, u in zip(oc, ouv)}
+        assert got == want
+
+    def test_init_distributed_noop_without_coordinator(self, monkeypatch):
+        from spslam_tpu.parallel.dist_ba import init_distributed
+
+        monkeypatch.delenv("SPSLAM_COORDINATOR", raising=False)
+        assert init_distributed() is False

@@ -20,12 +20,15 @@ class TestLoopClosure:
         sys_ = System(cfg)  # uses the pretrained data/vocab_synth.npz
         for (gray, depth), ts in zip(loop_seq.frames, loop_seq.timestamps):
             sys_.track_rgbd(gray, depth, ts)
+        # resolve in-flight pipelined frames (the reference's System::Shutdown
+        # before SaveTrajectoryTUM) so trailing keyframes reach the loop closer
+        sys_.shutdown()
         assert sys_.loop_closer.vocab.trained
         assert sys_.loop_closer.n_loops_closed >= 1, "no loop closure fired"
         rmse, _ = ate_rmse(sys_.poses(), loop_seq.poses_gt)
-        # full-turn rotation with noisy depth is adversarial: drift before
-        # closure is ~0.10; closure should roughly halve it
-        assert rmse < 0.08, f"ATE after loop closure: {rmse}"
+        # full-turn rotation with noisy depth is adversarial: odometry drift
+        # before closure is ~0.10; closure + global refine must recover it
+        assert rmse < 0.04, f"ATE after loop closure: {rmse}"
 
     def test_no_false_loops_on_short_sequence(self):
         seq = make_sequence(n_frames=10)

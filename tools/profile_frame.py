@@ -40,9 +40,9 @@ def main():
 
     from spslam_tpu.frontend.frame import build_frame
     from spslam_tpu.io.synthetic import make_sequence
-    from spslam_tpu.ops.brief import describe, unpack_bits
-    from spslam_tpu.ops.fast import detect_pyramid
-    from spslam_tpu.ops.pyramid import PyramidSpec, build_pyramid
+    from spslam_tpu.ops.brief import describe_levels
+    from spslam_tpu.ops.fast import detect_levels, level_feature_counts
+    from spslam_tpu.ops.pyramid import PyramidSpec, build_pyramid_levels
     from spslam_tpu.tracking.tracker import TrackerConfig, track_frame_step
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
@@ -58,19 +58,27 @@ def main():
     gray_f = gray_u8.astype(jnp.float32)
     depth_f = depth_u16.astype(jnp.float32) / 5000.0
 
-    # --- frontend stages ------------------------------------------------
+    # --- frontend stages (the LIVE true-size level path used by build_frame)
     r = {}
-    pyr, pyr_blur, _ = jax.block_until_ready(build_pyramid(gray_f, spec, blur=True))
-    r["build_pyramid"] = timeit(
-        lambda: jax.block_until_ready(build_pyramid(gray_f, spec, blur=True)), n
+    levels, levels_blur = jax.block_until_ready(
+        build_pyramid_levels(gray_f, spec, blur=True)
     )
-    det = jax.block_until_ready(detect_pyramid(pyr, spec, n_features=cfg.n_features))
-    r["detect_pyramid"] = timeit(
-        lambda: jax.block_until_ready(detect_pyramid(pyr, spec, n_features=cfg.n_features)), n
+    r["build_pyramid_levels"] = timeit(
+        lambda: jax.block_until_ready(build_pyramid_levels(gray_f, spec, blur=True)), n
     )
-    r["describe"] = timeit(
+    det = jax.block_until_ready(
+        detect_levels(levels, spec, n_features=cfg.n_features)
+    )
+    r["detect_levels"] = timeit(
         lambda: jax.block_until_ready(
-            describe(pyr, pyr_blur, det["octave"], det["xy_level"])
+            detect_levels(levels, spec, n_features=cfg.n_features)
+        ),
+        n,
+    )
+    counts = level_feature_counts(spec, cfg.n_features)
+    r["describe_levels"] = timeit(
+        lambda: jax.block_until_ready(
+            describe_levels(levels_blur, det["xy_level"], counts)
         ),
         n,
     )
@@ -82,17 +90,31 @@ def main():
     )
 
     # --- fused step -------------------------------------------------------
+    # mirror Tracker._upload_frame: ONE [3, H, W] u8 buffer (gray + depth
+    # lo/hi bytes) and Tracker._local_snapshot_build: [P, 9] pack with the
+    # valid flag in column 8
     P = cfg.local_points_cap
     rng = np.random.default_rng(0)
-    pack = jnp.asarray(rng.normal(size=(P, 8)).astype(np.float32))
+    pack_np = np.concatenate(
+        [
+            rng.normal(size=(P, 8)).astype(np.float32),
+            np.ones((P, 1), np.float32),
+        ],
+        axis=-1,
+    )
+    pack = jnp.asarray(pack_np)
     desc = jnp.asarray(rng.integers(0, 2**32, size=(P, 8), dtype=np.uint64).astype(np.uint32))
-    valid = jnp.asarray(np.ones(P, bool))
     T0 = jnp.asarray(np.array([1, 0, 0, 0, 0, 0, 0], np.float32))
+    d_np = np.clip(depth * 5000.0, 0, 65535).astype(np.uint16)
+    d8 = d_np[None].view(np.uint8).reshape(d_np.shape[0], d_np.shape[1], 2)
+    frame_u8 = jnp.asarray(
+        np.stack([np.clip(gray, 0, 255).astype(np.uint8), d8[..., 0], d8[..., 1]])
+    )
 
     def fused():
         out = track_frame_step(
-            gray_u8, depth_u16, T0, T0, jnp.asarray(False),
-            pack, desc, valid,
+            frame_u8, T0, T0, jnp.asarray(False),
+            pack, desc,
             cfg.motion_search_radius, cfg.local_search_radius, cfg.th_depth,
             spec, intr, cfg.n_features, cfg.th_fast_high, cfg.th_fast_low,
         )
