@@ -189,10 +189,14 @@ def orbit_trajectory(n_frames: int, radius: float = 0.8, seed: int = 1) -> np.nd
     return np.stack(poses)
 
 
-def loop_trajectory(n_frames: int, seed: int = 1) -> np.ndarray:
-    """Full 360-degree yaw rotation in place (plus small sway) that returns
-    to the starting view — a guaranteed loop-closure opportunity.
-    Returns [F, 7] T_cw poses.
+def loop_trajectory(n_frames: int, seed: int = 1, turns: float = 1.25) -> np.ndarray:
+    """Yaw rotation in place (plus small sway) that overshoots a full turn
+    (default 1.25 turns), so the final quarter of the sequence RE-TRAVERSES
+    the starting views — a sustained revisit window like real loop-closure
+    datasets (TUM fr2 loops re-traverse for many seconds), long enough for
+    the detector's 3-consecutive-KF consistency chain to accumulate.
+    All sway terms are periodic in the turn angle, so overshoot frames pass
+    through the same positions as the originals.  Returns [F, 7] T_cw.
     """
     import jax.numpy as jnp
 
@@ -200,7 +204,7 @@ def loop_trajectory(n_frames: int, seed: int = 1) -> np.ndarray:
 
     poses = []
     for i in range(n_frames):
-        a = 2.0 * np.pi * i / n_frames  # full turn over the sequence
+        a = 2.0 * np.pi * turns * i / n_frames
         cx = 0.4 * np.sin(a)
         cz = -0.8 + 0.2 * np.sin(2 * a)
         cy = 0.05 * np.sin(3 * a)

@@ -112,6 +112,7 @@ class LoopCloser:
             min_score = max(min_score, min(covis_scores))
         cands = self.kfdb.query(bow, exclude, min_score)
         self.kfdb.add(kf, bow)
+        cands = self._acc_score_filter(cands)
         if not cands:
             self._consistent = []
             return False
@@ -129,6 +130,37 @@ class LoopCloser:
             if self._close_loop(kf, cand):
                 return True
         return False
+
+    # -----------------------------------------------------------------
+    def _acc_score_filter(self, cands: list[tuple[int, float]]) -> list[tuple[int, float]]:
+        """The reference's covisibility-group accumulated-score gate
+        (KeyFrameDatabase::DetectLoopCandidates): sum each candidate's score
+        with its covisible neighbors that are also candidates, keep only
+        groups within 75% of the best group, one (best) keyframe per group.
+        Prunes lone spurious candidates that real revisit groups outvote —
+        each survivor costs a device RANSAC in the geometric check."""
+        if not cands:
+            return []
+        st = self.store
+        scored = {int(k): s for k, s in cands}
+        best_of_group: dict[int, tuple[float, int]] = {}
+        best_acc = 0.0
+        for k, s in cands:
+            neigh = [int(n) for n in st.covisibility(int(k), min_weight=5)[:10]]
+            members = [int(k)] + [n for n in neigh if n in scored]
+            acc = sum(scored[m] for m in members)
+            best_kf = max(members, key=lambda m: scored[m])
+            best_acc = max(best_acc, acc)
+            prev = best_of_group.get(best_kf)
+            if prev is None or acc > prev[0]:
+                best_of_group[best_kf] = (acc, best_kf)
+        out = [
+            (k, scored[k])
+            for acc, k in best_of_group.values()
+            if acc >= 0.75 * best_acc
+        ]
+        out.sort(key=lambda x: -x[1])
+        return out
 
     # -----------------------------------------------------------------
     def _consistency_check(self, cand_groups: list[tuple[int, set]]) -> list[int]:
@@ -199,7 +231,9 @@ class LoopCloser:
         (solver/global_ba.py)."""
         from ..solver.global_ba import global_bundle_adjust
 
-        global_bundle_adjust(self.store, self.intr)
+        global_bundle_adjust(
+            self.store, self.intr, settle_iters=6, stage1_iters=5, stage2_iters=10
+        )
 
     def _geometric_check(self, kf: int, cand: int):
         """MXU descriptor match + 3D-3D RANSAC between two keyframes."""

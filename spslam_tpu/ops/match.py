@@ -136,7 +136,7 @@ def window_gate(
     return g
 
 
-@partial(jax.jit, static_argnames=("check_rotation",))
+@partial(jax.jit, static_argnames=("check_rotation", "octave_slack"))
 def search_by_projection(
     proj_uv: jnp.ndarray,
     proj_bits: jnp.ndarray,
@@ -152,10 +152,12 @@ def search_by_projection(
     max_dist: float = TH_HIGH,
     ratio: float = 0.9,
     check_rotation: bool = True,
+    octave_slack: int = 1,
 ) -> MatchResult:
     """Match projected map points (rows) against frame keypoints (cols)
     within per-point windows — the reference's SearchByProjection."""
-    gate = window_gate(proj_uv, kp_uv, radius, proj_octave, kp_octave)
+    gate = window_gate(proj_uv, kp_uv, radius, proj_octave, kp_octave,
+                       octave_slack=octave_slack)
     return match_descriptors(
         proj_bits,
         kp_bits,

@@ -8,8 +8,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+# sitecustomize imports jax at startup, so env vars are too late here —
+# the config knob is the reliable way to force CPU (tests/conftest.py)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
