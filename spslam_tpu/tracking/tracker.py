@@ -168,7 +168,10 @@ def _match_and_optimize(
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "intr", "n_features", "th_high", "th_low", "depth_factor"),
+    static_argnames=(
+        "radius_motion", "radius2", "th_depth",
+        "spec", "intr", "n_features", "th_high", "th_low", "depth_factor",
+    ),
 )
 def track_frame_step(
     frame_u8, T_prev, T_prev2, has_vel,
@@ -201,13 +204,22 @@ def track_frame_step(
         per-buffer transfer latency over the tunnel dominates).
       pt_pack: [PL, 9] f32 local-map snapshot (pos | normal | min_d | max_d
         | valid).
+      radius_motion/radius2/th_depth: STATIC python floats — per-call scalar
+        uploads through the device tunnel cost ~ms each (measured), so
+        config constants are baked into the compiled program instead.
 
-    Returns (frame, scal, match_pack, frame_pack, desc):
-      scal:       [12] f32 — T_cw[0:7], n1, n2, n_close_tracked, close_avail.
-      match_pack: [PL] int32 — -1 if unmatched, else kp_idx + (inlier<<20).
-      frame_pack: [N, 10] f32 — uv, octave, angle, depth, u_right, valid,
-                  xyz_cam (the keyframe-insertion bundle).
-      desc:       [N, 8] uint32.
+    Returns (frame, out_u32) where out_u32 is ONE flat uint32 buffer (a
+    single async D2H copy per frame instead of four; per-copy tunnel
+    overhead dominates for small buffers), bitcast-packed as:
+      [0:12]                 scal f32 — T_cw[0:7], n1, n2, n_close_tracked,
+                             close_avail, 0.
+      [12:12+PL]             match_pack i32 — -1 if unmatched, else
+                             kp_idx + (inlier<<20).
+      [12+PL:12+PL+10N]      frame_pack f32 [N,10] — uv, octave, angle,
+                             depth, u_right, valid, xyz_cam (the
+                             keyframe-insertion bundle).
+      [12+PL+10N:12+PL+18N]  desc u32 [N,8].
+    Decode on host with unpack_track_out().
     """
     from ..geometry.lie import se3_compose, se3_inverse
 
@@ -261,7 +273,24 @@ def track_frame_step(
         -1,
     ).astype(jnp.int32)
     frame_pack, desc = _pack_frame(frame)
-    return frame, scal, match_pack, frame_pack, desc
+    out_u32 = jnp.concatenate([
+        jax.lax.bitcast_convert_type(scal, jnp.uint32),
+        jax.lax.bitcast_convert_type(match_pack, jnp.uint32),
+        jax.lax.bitcast_convert_type(frame_pack.reshape(-1), jnp.uint32),
+        desc.reshape(-1),
+    ])
+    return frame, out_u32
+
+
+def unpack_track_out(buf: np.ndarray, n_local: int, n_kp: int):
+    """Host-side decode of track_frame_step's packed uint32 output buffer:
+    returns (scal f32[12], match_pack i32[PL], frame_pack f32[N,10],
+    desc u32[N,8])."""
+    scal = buf[:12].view(np.float32)
+    mp = buf[12:12 + n_local].view(np.int32)
+    fp = buf[12 + n_local:12 + n_local + 10 * n_kp].view(np.float32)
+    desc = buf[12 + n_local + 10 * n_kp:]
+    return scal, mp, fp.reshape(n_kp, 10), desc.reshape(n_kp, 8)
 
 
 @jax.jit
@@ -322,6 +351,7 @@ class Tracker:
         self.pipeline_depth = 2
         self._pending: list[dict] = []
         self._chain = None                         # (T_N, T_{N-1}) device poses
+        self._hv_cache = None                      # cached device (False, True)
         import threading
 
         self._pose_corrected = threading.Event()   # set by loop-closure merge
@@ -389,19 +419,21 @@ class Tracker:
         else:
             T_prev = T_prev2 = jnp.asarray(self.T_cw)
             has_vel = False
-        frame, scal, match_pack, frame_pack, fdesc = track_frame_step(
-            frame_j, T_prev, T_prev2, jnp.asarray(has_vel),
+        # a FRESH jnp.asarray(bool) per frame costs ~10 ms of tunnel time
+        # (measured, tools/profile_ab.py) — reuse two cached device scalars
+        if self._hv_cache is None:
+            self._hv_cache = (jnp.asarray(False), jnp.asarray(True))
+        frame, out_u32 = track_frame_step(
+            frame_j, T_prev, T_prev2, self._hv_cache[int(has_vel)],
             pack, desc,
             cfg.motion_search_radius, cfg.local_search_radius, cfg.th_depth,
             self.spec, self.intr, cfg.n_features,
             cfg.th_fast_high, cfg.th_fast_low,
         )
-        T_new = scal[0:7]
-        for a in (scal, match_pack, frame_pack, fdesc):
-            a.copy_to_host_async()
+        T_new = jax.lax.bitcast_convert_type(out_u32[0:7], jnp.float32)
+        out_u32.copy_to_host_async()
         self._chain = (T_new, T_prev)  # (T_N device, T_{N-1} device)
-        p = dict(frame=frame, scal=scal, match_pack=match_pack,
-                 frame_pack=frame_pack, desc=fdesc, ids=ids, ts=ts,
+        p = dict(frame=frame, out=out_u32, ids=ids, ts=ts,
                  gray=gray, depth=depth, frame_id=self.frame_id,
                  force_robust=False)
         self.frame_id += 1
@@ -432,7 +464,10 @@ class Tracker:
                 new_kf=self.last_kf if self.last_kf != prev_kf else -1,
                 gray=p["gray"], depth=p["depth"],
             )
-        scal = np.asarray(p["scal"])
+        buf = np.asarray(p["out"])
+        scal, mp, frame_pack, fdesc = unpack_track_out(
+            buf, cfg.local_points_cap, cfg.n_features
+        )
         T_new = scal[0:7]
         n1, n2 = int(scal[7]), int(scal[8])
         n_close_tracked, close_avail = int(scal[9]), int(scal[10])
@@ -457,7 +492,6 @@ class Tracker:
         self.frames_since_kf += 1
         self.last_inliers = n2
 
-        mp = np.asarray(p["match_pack"])
         matched = mp >= 0
         match_idx = np.where(matched, mp & ((1 << 20) - 1), -1)
         inl = mp >= (1 << 20)
@@ -469,9 +503,7 @@ class Tracker:
 
         need_kf = self._need_new_kf(n2, n_close_tracked, close_avail)
         if need_kf:
-            frame_np = self._unpack_frame_np(
-                np.asarray(p["frame_pack"]), np.asarray(p["desc"])
-            )
+            frame_np = self._unpack_frame_np(frame_pack, fdesc)
             kf = self._insert_keyframe(
                 frame, p["ts"],
                 matches_pt_ids=np.where(inl, mids, -1),
