@@ -34,12 +34,39 @@ def main(argv=None):
     ap.add_argument("--map-out", type=str, default=None)
     ap.add_argument("--loop", action="store_true", help="enable loop closing")
     ap.add_argument("--async-mapping", action="store_true", help="background mapping thread")
+    ap.add_argument(
+        "--dp", type=int, default=0, metavar="N",
+        help="data-parallel batch evaluation: run N synthetic sequences "
+             "concurrently, one per mesh device (SURVEY §2.2 DP row)",
+    )
     args = ap.parse_args(argv)
 
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.dp > 0:
+        import jax
+
+        from .io.synthetic import make_sequence
+        from .parallel.dp_eval import evaluate_sequences
+
+        n = args.dp
+        print(f"rendering {n} synthetic sequences ({args.frames} frames each)...")
+        seqs = [make_sequence(n_frames=args.frames, seed=7 * i) for i in range(n)]
+        devs = jax.devices()
+        print(f"evaluating on {min(n, len(devs))} of {len(devs)} devices...")
+        results, agg_fps = evaluate_sequences(seqs, devices=devs)
+        for r in results:
+            print(f"  {r.name} @ {r.device}: ATE {r.ate_rmse_m*1000:.2f} mm, "
+                  f"{r.n_kf} kfs, {r.n_pts} pts")
+        print(json.dumps({
+            "dp_sequences": n,
+            "aggregate_fps": agg_fps,
+            "ate_rmse_m": [r.ate_rmse_m for r in results],
+        }))
+        return
 
     from .eval.ate import ate_rmse
     from .system import System, SystemConfig

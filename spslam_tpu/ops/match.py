@@ -136,7 +136,10 @@ def window_gate(
     return g
 
 
-@partial(jax.jit, static_argnames=("check_rotation", "octave_slack"))
+@partial(
+    jax.jit,
+    static_argnames=("max_dist", "ratio", "check_rotation", "octave_slack"),
+)
 def search_by_projection(
     proj_uv: jnp.ndarray,
     proj_bits: jnp.ndarray,

@@ -125,7 +125,10 @@ def project_points(T_cw, pos, normal, min_dist, max_dist, valid, intr: Intrinsic
     return uv, ok, oct_pred, z
 
 
-@partial(jax.jit, static_argnames=("intr", "n_rounds", "n_iters"))
+@partial(
+    jax.jit,
+    static_argnames=("max_dist_hamming", "intr", "n_rounds", "n_iters"),
+)
 def _match_and_optimize(
     T_init,
     pt_pos, pt_normal, pt_min_dist, pt_max_dist, pt_bits, pt_valid,
