@@ -75,13 +75,51 @@ def main():
         f"kfs={sys_.store.n_kf} pts={int(sys_.store.pt_valid.sum())}",
         file=sys.stderr,
     )
-    print(json.dumps({
+
+    # ---- point+plane lane (BASELINE configs #2/#3: SP-SLAM's defining
+    # workload must have an on-chip number, not just the point-only one) ----
+    planes_fps = planes_rmse = None
+    if os.environ.get("BENCH_PLANES", "1") != "0":
+        def make_plane_system():
+            return System(SystemConfig(
+                intr=seq.intr, local_ba=True, async_mapping=True,
+                use_planes=True, tracker=TrackerConfig(th_depth=3.2),
+            ))
+
+        warm = make_plane_system()
+        for (gray, depth), ts in zip(seq.frames[:12], seq.timestamps[:12]):
+            warm.track_rgbd(gray, depth, ts)
+        warm.shutdown()
+        print("plane warmup done, timing...", file=sys.stderr)
+        sys_p = make_plane_system()
+        ptimes = []
+        for (gray, depth), ts in zip(seq.frames, seq.timestamps):
+            t0 = time.perf_counter()
+            sys_p.track_rgbd(gray, depth, ts)
+            ptimes.append(time.perf_counter() - t0)
+        sys_p.shutdown()
+        psteady = np.array(ptimes[5:]) if len(ptimes) > 10 else np.array(ptimes)
+        planes_fps = 1.0 / float(np.median(psteady))
+        planes_rmse, _ = ate_rmse(sys_p.poses(), seq.poses_gt)
+        print(
+            f"planes: median {np.median(psteady)*1000:.1f} ms/frame, "
+            f"ATE {planes_rmse*1000:.2f} mm, kfs={sys_p.store.n_kf} "
+            f"pts={int(sys_p.store.pt_valid.sum())} "
+            f"planes={int(sys_p.store.pl_valid.sum())}",
+            file=sys.stderr,
+        )
+
+    out = {
         "metric": "tracking_fps",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 30.0, 3),
         "ate_rmse_m": round(rmse, 5),
-    }))
+    }
+    if planes_fps is not None:
+        out["planes_fps"] = round(planes_fps, 2)
+        out["planes_ate_rmse_m"] = round(planes_rmse, 5)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

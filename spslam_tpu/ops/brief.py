@@ -62,26 +62,6 @@ def _make_moment_matrix() -> np.ndarray:
 MOMENT_MATRIX = jnp.asarray(_make_moment_matrix())
 
 
-def gather_patches(pyr: jnp.ndarray, octave: jnp.ndarray, xy_level: jnp.ndarray, r: int = PATCH_R) -> jnp.ndarray:
-    """Gather (2r+1)^2 patches around keypoints from their pyramid level.
-
-    Args:
-      pyr: [L, H, W] (blurred for BRIEF, raw for orientation).
-      octave: [N] int32 level index.
-      xy_level: [N, 2] float32 (x, y) in level coords.
-    Returns: [N, 2r+1, 2r+1] float32.
-    """
-    H, W = pyr.shape[1], pyr.shape[2]
-    size = 2 * r + 1
-
-    def one(oct_i, xy):
-        cx = jnp.clip(jnp.round(xy[0]).astype(jnp.int32), r, W - r - 1)
-        cy = jnp.clip(jnp.round(xy[1]).astype(jnp.int32), r, H - r - 1)
-        return jax.lax.dynamic_slice(pyr, (oct_i, cy - r, cx - r), (1, size, size))[0]
-
-    return jax.vmap(one)(octave, xy_level)
-
-
 def ic_angle(patches: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid orientation per keypoint patch.
 
@@ -208,21 +188,3 @@ def describe_levels(levels_blur, xy_level: jnp.ndarray, counts: tuple):
     return angles, desc
 
 
-@partial(jax.jit, static_argnames=())
-def describe(pyr_raw: jnp.ndarray, pyr_blur: jnp.ndarray, octave: jnp.ndarray, xy_level: jnp.ndarray):
-    """Orientation + descriptors for a batch of keypoints.
-
-    Returns (angles [N] rad, desc [N, 8] uint32).
-
-    Per-keypoint patch gathers are the dominant frontend cost on TPU, so
-    the patch is gathered ONCE from the blurred pyramid and reused for both
-    the intensity-centroid orientation and the BRIEF samples.  (The
-    reference computes IC_Angle on the unblurred level; a 7x7 sigma-2 blur
-    barely moves the centroid moments, and matching recall — the quantity
-    the tests gate on — is unchanged.)
-    """
-    del pyr_raw  # orientation reuses the blurred patches (see docstring)
-    patches_blur = gather_patches(pyr_blur, octave, xy_level)
-    angles = ic_angle(patches_blur)
-    desc = brief_descriptors(patches_blur, angles)
-    return angles, desc

@@ -155,50 +155,6 @@ def level_feature_counts(spec: PyramidSpec, n_features: int) -> tuple:
     return tuple(counts)
 
 
-@partial(jax.jit, static_argnames=("spec", "n_features", "border", "tile", "k_per_tile"))
-def detect_pyramid(
-    pyr: jnp.ndarray,
-    spec: PyramidSpec,
-    n_features: int = 1024,
-    th_high: float = 20.0,
-    th_low: float = 7.0,
-    border: int = 19,
-    tile: int = 32,
-    k_per_tile: int = 8,
-):
-    """Detect FAST keypoints on every pyramid level.
-
-    Returns dict of [N_total]-shaped arrays (N_total = sum of per-level
-    budgets, static): ``xy_level`` (level px coords), ``xy`` (level-0 px
-    coords), ``score``, ``octave``, ``valid``.
-    """
-    counts = level_feature_counts(spec, n_features)
-    out_xy_l, out_xy0, out_score, out_oct, out_valid = [], [], [], [], []
-    for lvl in range(spec.n_levels):
-        h_l, w_l = spec.level_sizes[lvl]
-        img = pyr[lvl]
-        score = fast_score_map(img, th_low, th_high)
-        score = nms3x3(score)
-        # Mask borders of the *valid* region (static per level).
-        mask = jnp.zeros((spec.height, spec.width), dtype=bool)
-        mask = mask.at[border : h_l - border, border : w_l - border].set(True)
-        score = jnp.where(mask, score, 0.0)
-        kps = select_tiled_topk(score, counts[lvl], tile=tile, k_per_tile=k_per_tile)
-        s = spec.scale_factor ** lvl
-        out_xy_l.append(kps.xy)
-        out_xy0.append(kps.xy * s)
-        out_score.append(kps.score)
-        out_oct.append(jnp.full((kps.xy.shape[0],), lvl, dtype=jnp.int32))
-        out_valid.append(kps.valid)
-    return {
-        "xy_level": jnp.concatenate(out_xy_l),
-        "xy": jnp.concatenate(out_xy0),
-        "score": jnp.concatenate(out_score),
-        "octave": jnp.concatenate(out_oct),
-        "valid": jnp.concatenate(out_valid),
-    }
-
-
 @partial(
     jax.jit,
     static_argnames=(
@@ -215,10 +171,10 @@ def detect_levels(
     tile: int = 32,
     k_per_tile: int = 8,
 ):
-    """detect_pyramid over a TRUE-SIZE level tuple (build_pyramid_levels):
+    """FAST detection over a TRUE-SIZE level tuple (build_pyramid_levels):
     the FAST stencil + NMS run fused in VMEM (Pallas kernel on TPU,
     ops/fast_pallas.py) at each level's real resolution instead of paying
-    full-resolution cost 8 times.  Same outputs as detect_pyramid; keypoints
+    full-resolution cost 8 times.  Keypoints
     stay grouped by level with STATIC per-level counts
     (level_feature_counts), which downstream per-level gathers rely on.
     """
@@ -228,6 +184,14 @@ def detect_levels(
     out_xy_l, out_xy0, out_score, out_oct, out_valid = [], [], [], [], []
     for lvl in range(spec.n_levels):
         h_l, w_l = spec.level_sizes[lvl]
+        # select_tiled_topk silently clamps n_out to its padded-tile
+        # capacity; a clamped level would misalign describe_levels' static
+        # per-level slicing, so fail loudly instead (shapes are static)
+        cap = (-(-h_l // tile)) * (-(-w_l // tile)) * k_per_tile
+        assert counts[lvl] <= cap, (
+            f"level {lvl}: budget {counts[lvl]} exceeds tile capacity {cap} "
+            f"({h_l}x{w_l}, tile={tile}, k_per_tile={k_per_tile})"
+        )
         score = fast_nms_scores(levels[lvl], th_low, th_high)
         mask = jnp.zeros((h_l, w_l), dtype=bool)
         mask = mask.at[border : h_l - border, border : w_l - border].set(True)

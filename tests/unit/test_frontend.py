@@ -3,10 +3,12 @@ import numpy as np
 import jax.numpy as jnp
 
 from spslam_tpu.geometry import Intrinsics
-from spslam_tpu.ops.fast import detect_pyramid, fast_score_map, nms3x3
+from spslam_tpu.ops.fast import (
+    detect_levels, fast_score_map, level_feature_counts, nms3x3,
+)
 from spslam_tpu.ops.match import hamming_matrix, match_descriptors
 from spslam_tpu.ops.brief import unpack_bits
-from spslam_tpu.ops.pyramid import PyramidSpec, build_pyramid
+from spslam_tpu.ops.pyramid import PyramidSpec, build_pyramid_levels
 from spslam_tpu.frontend.frame import build_frame
 
 rng = np.random.default_rng(3)
@@ -41,11 +43,13 @@ class TestFast:
         recall = np.mean(d <= 2.0)
         assert recall > 0.9, f"FAST recall vs OpenCV too low: {recall}"
 
-    def test_detect_pyramid_budget_and_spread(self):
+    def test_detect_levels_budget_and_spread(self):
+        """Live production path (frontend/frame.py): true-size pyramid →
+        fused FAST+NMS → static per-level budgets."""
         img = make_texture()
         spec = PyramidSpec(n_levels=8, scale_factor=1.2, height=480, width=640)
-        pyr, _, _ = build_pyramid(jnp.array(img), spec, blur=False)
-        det = detect_pyramid(pyr, spec, n_features=1024)
+        levels, _ = build_pyramid_levels(jnp.array(img), spec, blur=False)
+        det = detect_levels(levels, spec, n_features=1024)
         valid = np.asarray(det["valid"])
         assert valid.sum() > 500
         xy = np.asarray(det["xy"])[valid]
@@ -54,6 +58,14 @@ class TestFast:
         assert len(cells) >= 32
         # level-0 coords in bounds
         assert xy[:, 0].max() < 640 and xy[:, 1].max() < 480
+        # static per-level grouping: octave blocks match level_feature_counts
+        counts = level_feature_counts(spec, 1024)
+        octave = np.asarray(det["octave"])
+        start = 0
+        for lvl, c in enumerate(counts):
+            assert (octave[start:start + c] == lvl).all()
+            start += c
+        assert start == len(octave)
 
 
 class TestHamming:
