@@ -249,9 +249,31 @@ def track_frame_step(
         T_pred, pt_pos, pt_normal, pt_mind, pt_maxd, pt_bits, pt_valid,
         frame, radius1, TH_HIGH, intr, n_rounds=2, n_iters=5,
     )
+    # window-free global descriptor fallback (the reference's
+    # TrackReferenceKeyFrame role): when the constant-velocity window
+    # misses — fast/jerky motion, post-anomaly re-priming — the sync path
+    # recovers through its global match, but the fused path previously had
+    # no equivalent and re-anomalied forever on fast sequences (every frame
+    # then paid the robust-fallback price).  Both seeds are computed
+    # unconditionally (masked MXU work is cheap; lax.cond would serialize)
+    # and the better one feeds the tight stage.
+    res_fb = match_descriptors(
+        pt_bits, frame.bits, pt_valid, frame.valid,
+        max_dist=TH_LOW, ratio=0.85, check_rotation=False,
+    )
+    kp_fb = jnp.maximum(res_fb.idx, 0)
+    opt_fb = pose_optimization(
+        T_prev, pt_pos, frame.uv[kp_fb],
+        jnp.where(res_fb.valid, frame.u_right[kp_fb], -1.0),
+        octave_inv_sigma2(frame.octave[kp_fb]),
+        res_fb.valid, intr, n_rounds=4, n_iters=10,
+    )
+    use_mm = opt1.n_inliers >= opt_fb.n_inliers
+    T_seed = jnp.where(use_mm, opt1.T_cw, opt_fb.T_cw)
+    n_seed = jnp.maximum(opt1.n_inliers, opt_fb.n_inliers)
     opt2, match_idx, matched = _match_and_optimize(
-        opt1.T_cw, pt_pos, pt_normal, pt_mind, pt_maxd, pt_bits, pt_valid,
-        frame, radius2, TH_HIGH, intr, n_rounds=4, n_iters=6,
+        T_seed, pt_pos, pt_normal, pt_mind, pt_maxd, pt_bits, pt_valid,
+        frame, radius2, TH_HIGH, intr, n_rounds=4, n_iters=10,
     )
     kp_idx = jnp.maximum(match_idx, 0)
     kp_depth = frame.depth[kp_idx]
@@ -263,11 +285,11 @@ def track_frame_step(
     scal = jnp.concatenate([
         opt2.T_cw,
         jnp.stack([
-            opt1.n_inliers.astype(jnp.float32),
+            n_seed.astype(jnp.float32),
             opt2.n_inliers.astype(jnp.float32),
             n_close_tracked.astype(jnp.float32),
             close_avail.astype(jnp.float32),
-            jnp.float32(0.0),
+            opt_fb.n_inliers.astype(jnp.float32),
         ]),
     ])
     match_pack = jnp.where(
@@ -355,6 +377,10 @@ class Tracker:
         self._pending: list[dict] = []
         self._chain = None                         # (T_N, T_{N-1}) device poses
         self._hv_cache = None                      # cached device (False, True)
+        # pose-jump gate thresholds (deviation from the constant-velocity
+        # prediction, translation meters / rotation radians)
+        self.jump_gate_t = 0.25
+        self.jump_gate_r = 0.35
         import threading
 
         self._pose_corrected = threading.Event()   # set by loop-closure merge
@@ -414,9 +440,19 @@ class Tracker:
         if self._chain is not None:
             T_prev, T_prev2, has_vel = self._chain[0], self._chain[1], True
         elif self.velocity is not None:
-            T_prev = jnp.asarray(self.T_cw)
+            # re-priming the device chain from host state: self.T_cw is the
+            # pose of the last RESOLVED frame, which is len(_pending) frames
+            # behind the frame being dispatched — advance the constant-
+            # velocity model over the in-flight gap, else the prediction is
+            # ~2 frames stale and fast sequences re-anomaly forever (the
+            # fused path then never re-establishes and every frame pays the
+            # robust fallback)
+            Tp = self.T_cw
+            for _ in range(len(self._pending)):
+                Tp = np_lie.se3_compose(self.velocity, Tp)
+            T_prev = jnp.asarray(Tp)
             T_prev2 = jnp.asarray(
-                np_lie.se3_compose(np_lie.se3_inverse(self.velocity), self.T_cw)
+                np_lie.se3_compose(np_lie.se3_inverse(self.velocity), Tp)
             )
             has_vel = True
         else:
@@ -474,7 +510,22 @@ class Tracker:
         T_new = scal[0:7]
         n1, n2 = int(scal[7]), int(scal[8])
         n_close_tracked, close_avail = int(scal[9]), int(scal[10])
-        if n1 < cfg.min_inliers_motion or n2 < cfg.kf_min_inliers:
+        # pose-jump gate: the fused step's window-free global fallback can
+        # snap to an aliased wrong pose with a self-consistent inlier set
+        # (repetitive texture).  A result that deviates wildly from the
+        # constant-velocity prediction is treated as an anomaly and the
+        # frame replays through the robust sync path (whose narrow-window
+        # design cannot jump).  Skipped when there is no velocity prior
+        # (post-init / post-reloc / post-loop-correction, where a large
+        # correction is legitimate).
+        jumped = False
+        if self.velocity is not None:
+            T_pred_h = np_lie.se3_compose(self.velocity, self.T_cw)
+            dT = np_lie.se3_compose(T_new, np_lie.se3_inverse(T_pred_h))
+            jump_t = float(np.linalg.norm(dT[4:7]))
+            jump_r = 2.0 * float(np.arccos(np.clip(abs(dT[0]), 0.0, 1.0)))
+            jumped = jump_t > self.jump_gate_t or jump_r > self.jump_gate_r
+        if jumped or n1 < cfg.min_inliers_motion or n2 < cfg.kf_min_inliers:
             # rare anomaly: rerun the robust path on the already-built frame;
             # frames dispatched after this one used its bad output pose
             for q in self._pending:
