@@ -36,7 +36,7 @@ class SeqResult:
     device: str
     n_frames: int
     ate_rmse_m: float
-    wall_s: float          # wall time attributable to this sequence's slot
+    wall_s: float          # whole-batch wall clock (identical across results)
     fps_aggregate: float   # batch frames/sec across the whole run
     n_kf: int
     n_pts: int
@@ -60,6 +60,11 @@ def evaluate_sequences(
       devices: mesh devices to pin to (default ``jax.devices()``);
         sequences beyond ``len(devices)`` share devices round-robin.
 
+    Systems must use synchronous mapping (``async_mapping=False``):
+    ``jax.default_device`` is thread-local, so a background mapping
+    thread's dispatches would land on the global default device and
+    contend on device 0 instead of the pinned one (asserted below).
+
     Returns (results, aggregate_fps).
     """
     import jax
@@ -77,6 +82,10 @@ def evaluate_sequences(
             sys_i = make_system(i)
         else:
             sys_i = System(SystemConfig(intr=seq.intr))
+        assert not sys_i.cfg.async_mapping, (
+            "dp_eval requires async_mapping=False: jax.default_device is "
+            "thread-local, so a background mapper would bypass device pinning"
+        )
         systems.append((sys_i, dev, seq))
 
     n_total = sum(len(s.frames) for s in sequences)

@@ -37,6 +37,9 @@ class SystemConfig:
     enable_reloc: bool = True     # keep vocab+KFDB maintained even without
                                   # loop closing so LOST is recoverable (the
                                   # reference's KeyFrameDatabase always exists)
+    gba_distributed: bool | None = None  # post-loop global BA: None = auto
+                                  # (dense small maps, sharded mesh solver
+                                  # for big ones), True = force sharded
     async_mapping: bool = False   # run mapping/loop on a background thread
     local_ba: bool = True
     localization_only: bool = False
@@ -61,7 +64,7 @@ class System:
         if cfg.use_loop or cfg.enable_reloc:
             import os
 
-            from .loop.loop_closer import LoopCloser
+            from .loop.loop_closer import LoopCloser, LoopConfig
             from .loop.vocab import Vocabulary
 
             path = cfg.vocab_path
@@ -74,7 +77,10 @@ class System:
             vocab = Vocabulary(n_words=4096)
             if path:
                 vocab.load(path)
-            self.loop_closer = LoopCloser(cfg.intr, self.store, vocab)
+            self.loop_closer = LoopCloser(
+                cfg.intr, self.store, vocab,
+                cfg=LoopConfig(gba_distributed=cfg.gba_distributed),
+            )
             self.tracker.relocalizer = (self.loop_closer.vocab, self.loop_closer.kfdb)
         self.trajectory: list[tuple[float, np.ndarray]] = []
         self._rel_trajectory: list[tuple[float, int, np.ndarray]] = []
@@ -126,7 +132,11 @@ class System:
                     self.plane_mapper.process_keyframe(rec.new_kf, rec.gray, rec.depth)
                 self.mapper.process_keyframe(rec.new_kf, run_ba=self.cfg.local_ba)
                 if self.loop_closer is not None:
-                    closed = self.loop_closer.process_keyframe(rec.new_kf)
+                    # detect=False keeps the KFDB/vocab maintained for
+                    # relocalization without ever closing loops (use_loop=False)
+                    closed = self.loop_closer.process_keyframe(
+                        rec.new_kf, detect=self.cfg.use_loop
+                    )
                     if closed:
                         # realign the tracker with the corrected map
                         self.tracker.external_pose_correction(

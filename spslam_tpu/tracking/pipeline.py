@@ -92,7 +92,9 @@ class AsyncMappingPipeline:
                         kf, run_ba=sys_.cfg.local_ba and newest
                     )
                     if sys_.loop_closer is not None:
-                        closed = sys_.loop_closer.process_keyframe(kf)
+                        closed = sys_.loop_closer.process_keyframe(
+                            kf, detect=sys_.cfg.use_loop
+                        )
                         if closed:
                             with sys_.store.lock:
                                 sys_.tracker.external_pose_correction(
