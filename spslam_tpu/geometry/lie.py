@@ -159,7 +159,6 @@ def hat(v: jnp.ndarray) -> jnp.ndarray:
 # SE(3) as 7-vectors [qw qx qy qz tx ty tz]
 # ---------------------------------------------------------------------------
 
-SE3_IDENTITY = jnp.array([1.0, 0, 0, 0, 0, 0, 0], dtype=jnp.float32)
 
 
 def se3_identity() -> jnp.ndarray:

@@ -36,6 +36,12 @@ from .sim3 import ransac_align
 from .vocab import Vocabulary, bow_similarity
 
 
+@jax.jit
+def _retransform(T_old, T_new, X):
+    """X' = T_new^{-1} . T_old . X, batched (loop point correction)."""
+    return se3_apply(se3_inverse(T_new), se3_apply(T_old, X))
+
+
 @dataclass(frozen=True)
 class LoopConfig:
     min_interval_kfs: int = 10      # don't match very recent keyframes
@@ -44,6 +50,10 @@ class LoopConfig:
     covis_edge_weight: int = 30     # covisibility edges in the essential graph
     loop_edge_weight: float = 10.0
     pose_graph_iters: int = 20
+    # post-loop global BA solver: None = auto (dense while the Schur tensor
+    # fits on one device, sharded mesh solver beyond), True = force the
+    # sharded solver, False = dense/settle only (solver/global_ba.py)
+    gba_distributed: bool | None = None
 
 
 class LoopCloser:
@@ -232,7 +242,8 @@ class LoopCloser:
         from ..solver.global_ba import global_bundle_adjust
 
         global_bundle_adjust(
-            self.store, self.intr, settle_iters=6, stage1_iters=5, stage2_iters=10
+            self.store, self.intr, settle_iters=6, stage1_iters=5,
+            stage2_iters=10, distributed=self.cfg.gba_distributed,
         )
 
     def _geometric_check(self, kf: int, cand: int):
@@ -285,9 +296,15 @@ class LoopCloser:
         def rel(i, j):
             return np_lie.se3_compose(st.kf_pose[i], np_lie.se3_inverse(st.kf_pose[j]))
 
-        # sequential (spanning-tree-like) edges between consecutive valid KFs
-        for a, b in zip(valid_ids[:-1], valid_ids[1:]):
-            ei.append(int(a)); ej.append(int(b)); eT.append(rel(a, b)); ew.append(1.0)
+        # spanning-tree edges (parent -> child; the reference's essential
+        # graph includes every KeyFrame::GetParent edge), with a sequential
+        # fallback for keyframes whose parent was culled away
+        prev = {int(a): int(b) for a, b in zip(valid_ids[1:], valid_ids[:-1])}
+        for k in valid_ids[1:]:
+            p = int(st.kf_parent[k])
+            if p < 0 or not st.kf_valid[p]:
+                p = prev[int(k)]
+            ei.append(p); ej.append(int(k)); eT.append(rel(p, int(k))); ew.append(1.0)
         # strong covisibility edges
         seen = set()
         for k in valid_ids:
@@ -303,18 +320,32 @@ class LoopCloser:
                 ei.append(int(i)); ej.append(int(j)); eT.append(T_ij)
                 ew.append(self.cfg.loop_edge_weight)
 
+        # pad the edge count to a power-of-two bucket: each closure has a
+        # different E, and an unpadded call compiles a fresh pose-graph
+        # program per count (~30 s each over the TPU tunnel)
         E = len(ei)
+        Ep = 256
+        while Ep < E:
+            Ep *= 2
+        ei_p = np.zeros(Ep, np.int32)
+        ej_p = np.zeros(Ep, np.int32)
+        eT_p = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), (Ep, 1))
+        ew_p = np.zeros(Ep, np.float32)
+        ei_p[:E] = ei
+        ej_p[:E] = ej
+        eT_p[:E] = np.stack(eT).astype(np.float32)
+        ew_p[:E] = ew
         fixed = np.zeros(K, bool)
         fixed[valid_ids[0]] = True
         prob = PoseGraphProblem(
             poses=jnp.asarray(st.kf_pose),
             fixed=jnp.asarray(fixed | ~st.kf_valid),
             valid=jnp.asarray(st.kf_valid),
-            edge_i=jnp.asarray(np.array(ei, np.int32)),
-            edge_j=jnp.asarray(np.array(ej, np.int32)),
-            edge_T=jnp.asarray(np.stack(eT).astype(np.float32)),
-            edge_w=jnp.asarray(np.array(ew, np.float32)),
-            edge_valid=jnp.ones(E, bool),
+            edge_i=jnp.asarray(ei_p),
+            edge_j=jnp.asarray(ej_p),
+            edge_T=jnp.asarray(eT_p),
+            edge_w=jnp.asarray(ew_p),
+            edge_valid=jnp.asarray(np.arange(Ep) < E),
         )
         new_poses = np.asarray(optimize_pose_graph(prob, n_iters=self.cfg.pose_graph_iters))
         with st.lock:
@@ -323,30 +354,43 @@ class LoopCloser:
 
     def _correct_points(self, old_poses: np.ndarray):
         """Transform each map point through its reference keyframe's pose
-        correction: X' = T_wc_new . T_cw_old . X  (reference CorrectLoop)."""
+        correction: X' = T_wc_new . T_cw_old . X  (reference CorrectLoop).
+
+        Point count is padded to a power-of-two bucket and the math runs as
+        one jitted call (`_retransform`) — per-closure counts vary, and
+        unpadded eager ops would compile fresh programs on every closure."""
         st = self.store
         pts = np.nonzero(st.pt_valid)[0]
         if len(pts) == 0:
             return
-        refs = st.pt_ref_kf[pts]
+        n = len(pts)
+        cap = 1024
+        while cap < n:
+            cap *= 2
+        sel = np.zeros(cap, np.int64)
+        sel[:n] = pts
+        refs = st.pt_ref_kf[sel]
         refs = np.where((refs >= 0) & st.kf_valid[np.maximum(refs, 0)], refs, 0)
-        T_old = jnp.asarray(old_poses[refs])
-        T_new = jnp.asarray(st.kf_pose[refs])
-        X = jnp.asarray(st.pt_pos[pts])
-        Xc = se3_apply(T_old, X)
-        Xw = se3_apply(se3_inverse(T_new), Xc)
+        Xw = np.asarray(_retransform(
+            jnp.asarray(old_poses[refs]), jnp.asarray(st.kf_pose[refs]),
+            jnp.asarray(st.pt_pos[sel]),
+        ))
         with st.lock:
-            st.pt_pos[pts] = np.asarray(Xw)
-        # planes likewise through their reference keyframes
+            st.pt_pos[pts] = Xw[:n]
+        # planes likewise through their reference keyframes (padded to the
+        # fixed plane capacity — one compiled shape for the whole run)
         pls = np.nonzero(st.pl_valid)[0]
         if len(pls):
             from ..geometry.plane import transform_plane
 
-            prefs = st.pl_ref_kf[pls]
+            L = st.cfg.max_planes
+            psel = np.zeros(L, np.int64)
+            psel[: len(pls)] = pls
+            prefs = st.pl_ref_kf[psel]
             prefs = np.where((prefs >= 0) & st.kf_valid[np.maximum(prefs, 0)], prefs, 0)
             T_old = jnp.asarray(old_poses[prefs])
             T_new = jnp.asarray(st.kf_pose[prefs])
-            pi_c = transform_plane(T_old, jnp.asarray(st.pl_coef[pls]))
-            pi_w = transform_plane(se3_inverse(T_new), pi_c)
-            st.pl_coef[pls] = np.asarray(pi_w)
+            pi_c = transform_plane(T_old, jnp.asarray(st.pl_coef[psel]))
+            pi_w = np.asarray(transform_plane(se3_inverse(T_new), pi_c))
+            st.pl_coef[pls] = pi_w[: len(pls)]
         st.version += 1

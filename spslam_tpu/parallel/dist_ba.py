@@ -265,6 +265,7 @@ def partition_problem(
     obs_per_point: int = 16,
     pt_ref_kf: np.ndarray | None = None,
     strategy: str = "segments",
+    return_mapping: bool = False,
 ) -> DistBAProblem:
     """Partition landmarks (with their observations) into shards — fully
     vectorized (no per-observation Python loops).
@@ -274,6 +275,9 @@ def partition_problem(
     owning keyframe; pt_ref_kf defaults to each point's first observing
     camera).  strategy="round_robin": the round-1 layout, kept for A/B
     comparisons.
+
+    With return_mapping=True, returns (prob, shard_of_pt [P], local_idx [P])
+    so callers can scatter solved points back to their original order.
     """
     n_pts = len(points)
     D = n_shards
@@ -326,9 +330,17 @@ def partition_problem(
     pt_obs = np.full((D, Ps, obs_per_point), -1, np.int32)
     occ = _cumcount(obs_pt)
     keep = occ < obs_per_point
+    n_dropped = int(len(occ) - keep.sum())
+    if n_dropped:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "dist BA partition: dropped %d observations beyond the "
+            "%d-per-point Schur-pair cap", n_dropped, obs_per_point,
+        )
     pt_obs[shard_of_obs[keep], local_idx[obs_pt[keep]], occ[keep]] = j[keep]
 
-    return DistBAProblem(
+    prob = DistBAProblem(
         poses=jnp.asarray(poses),
         pose_fixed=jnp.asarray(pose_fixed),
         pose_valid=jnp.ones(len(poses), bool),
@@ -342,11 +354,17 @@ def partition_problem(
         obs_valid=jnp.asarray(ov),
         pt_obs=jnp.asarray(pt_obs),
     )
+    if return_mapping:
+        return prob, shard_of_pt, local_idx
+    return prob
 
 
 # ---------------------------------------------------------------------------
 # Multi-host entry
 # ---------------------------------------------------------------------------
+
+
+_dist_state = {"up": False}
 
 
 def init_distributed(
@@ -359,17 +377,17 @@ def init_distributed(
     Reads SPSLAM_COORDINATOR / SPSLAM_NUM_PROCESSES / SPSLAM_PROCESS_ID when
     arguments are omitted; a no-op (returns False) when no coordinator is
     configured, so single-host runs never touch the distributed runtime.
-    Returns True when a multi-process runtime is (already) up.
+    Returns True when the multi-process runtime is (already) up.
+
+    Must be called BEFORE any jax computation (distributed.initialize has to
+    precede backend initialization) — do not probe jax.process_count() here,
+    that would itself initialize the backend.  Exercised for real by the
+    2-process CPU test (tests/dist/test_multiprocess.py).
     """
     import os
 
-    import jax
-
-    try:
-        if jax.process_count() > 1:
-            return True
-    except Exception:
-        pass
+    if _dist_state["up"]:
+        return True
     coordinator = coordinator or os.environ.get("SPSLAM_COORDINATOR")
     if not coordinator:
         return False
@@ -381,11 +399,14 @@ def init_distributed(
     )
     if not num_processes:
         return False
+    import jax
+
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
         process_id=process_id,
     )
+    _dist_state["up"] = True
     return True
 
 

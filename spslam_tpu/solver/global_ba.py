@@ -44,22 +44,18 @@ def _pad_to(x: np.ndarray, n: int, fill=0) -> np.ndarray:
     return out
 
 
-def assemble_global_problem(store, intr: Intrinsics, omax: int | None = None):
-    """Flatten the whole MapStore into a padded BAProblem.
+def _flatten_point_obs(st, omax: int):
+    """Flatten the store's per-point observation tables into compact flat
+    arrays (shared by the dense and distributed global-BA assemblies).
 
-    Returns (prob, kf_ids, pt_ids, pl_ids) or None if the map is too small.
+    Returns None if the map is too small, else a dict with compact keyframe
+    / point id maps and per-observation (cam_idx, pt_row, uv, ur, octave).
     Call under store.lock if other threads may write.
     """
-    st = store
     kf_ids = np.nonzero(st.kf_valid)[0].astype(np.int32)
     pt_ids = np.nonzero(st.pt_valid)[0].astype(np.int32)
     if len(kf_ids) < 2 or len(pt_ids) < 50:
         return None
-    omax = omax or st.cfg.max_obs_per_point
-
-    M = _pow2(len(kf_ids), 16)
-    P = _pow2(len(pt_ids), 1024)
-
     kf_to_idx = np.full(st.cfg.max_keyframes, -1, np.int32)
     kf_to_idx[kf_ids] = np.arange(len(kf_ids), dtype=np.int32)
 
@@ -69,26 +65,60 @@ def assemble_global_problem(store, intr: Intrinsics, omax: int | None = None):
     ok = (kf_arr >= 0) & (kf_to_idx[np.maximum(kf_arr, 0)] >= 0) & (slot_arr >= 0)
     cum = np.cumsum(ok, axis=1)
     keep = ok & (cum <= omax)
+    n_dropped = int(ok.sum() - keep.sum())
+    if n_dropped:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "global BA: dropped %d observations beyond the %d-per-point cap",
+            n_dropped, omax,
+        )
     rows, cols = np.nonzero(keep)
     k_sel = kf_arr[rows, cols]
     s_sel = slot_arr[rows, cols]
-    n_obs = len(rows)
-    R = _pow2(max(n_obs, 1), 2048)
+    return dict(
+        kf_ids=kf_ids, pt_ids=pt_ids, kf_to_idx=kf_to_idx,
+        rows=rows, cum_cols=cum[rows, cols] - 1,
+        cam_idx=kf_to_idx[k_sel],
+        uv=st.kf_uv[k_sel, s_sel].astype(np.float32),
+        ur=st.kf_ur[k_sel, s_sel].astype(np.float32),
+        octave=st.kf_octave[k_sel, s_sel].astype(np.int32),
+    )
 
+
+def assemble_global_problem(store, intr: Intrinsics, omax: int | None = None):
+    """Flatten the whole MapStore into a padded BAProblem.
+
+    Returns (prob, kf_ids, pt_ids, pl_ids) or None if the map is too small.
+    Call under store.lock if other threads may write.
+    """
+    st = store
+    omax = omax or st.cfg.max_obs_per_point
+    flat = _flatten_point_obs(st, omax)
+    if flat is None:
+        return None
+    kf_ids, pt_ids = flat["kf_ids"], flat["pt_ids"]
+    kf_to_idx = flat["kf_to_idx"]
+    rows = flat["rows"]
+    n_obs = len(rows)
+
+    M = _pow2(len(kf_ids), 16)
+    P = _pow2(len(pt_ids), 1024)
+    R = _pow2(max(n_obs, 1), 2048)
     obs_cam = np.zeros(R, np.int32)
     obs_pt = np.zeros(R, np.int32)
     obs_uv = np.zeros((R, 2), np.float32)
     obs_ur = np.full(R, -1.0, np.float32)
     obs_oct = np.zeros(R, np.int32)
     obs_valid = np.zeros(R, bool)
-    obs_cam[:n_obs] = kf_to_idx[k_sel]
+    obs_cam[:n_obs] = flat["cam_idx"]
     obs_pt[:n_obs] = rows
-    obs_uv[:n_obs] = st.kf_uv[k_sel, s_sel]
-    obs_ur[:n_obs] = st.kf_ur[k_sel, s_sel]
-    obs_oct[:n_obs] = st.kf_octave[k_sel, s_sel]
+    obs_uv[:n_obs] = flat["uv"]
+    obs_ur[:n_obs] = flat["ur"]
+    obs_oct[:n_obs] = flat["octave"]
     obs_valid[:n_obs] = True
     pt_obs = np.full((P, omax), -1, np.int32)
-    pt_obs[rows, cum[rows, cols] - 1] = np.arange(n_obs, dtype=np.int32)
+    pt_obs[rows, flat["cum_cols"]] = np.arange(n_obs, dtype=np.int32)
 
     poses = np.zeros((M, 7), np.float32)
     poses[:, 0] = 1.0
@@ -116,18 +146,21 @@ def assemble_global_problem(store, intr: Intrinsics, omax: int | None = None):
     pobs_pi = np.tile(np.array([0, 0, 1, 0], np.float32), (Q, 1))
     pobs_w = np.zeros(Q, np.float32)
     pobs_valid = np.zeros(Q, bool)
-    q = 0
-    for li, l in enumerate(pl_ids):
-        for j in range(st.pl_obs_count[l]):
-            k = int(st.pl_obs_kf[l, j])
-            if k < 0 or kf_to_idx[k] < 0:
-                continue
-            pobs_cam[q] = kf_to_idx[k]
-            pobs_plane[q] = li
-            pobs_pi[q] = st.pl_obs_pi[l, j]
-            pobs_w[q] = max(st.pl_obs_w[l, j], 1e-3)
-            pobs_valid[q] = True
-            q += 1
+    if len(pl_ids):
+        O = st.pl_obs_kf.shape[1]
+        kf_obs = st.pl_obs_kf[pl_ids]                    # [Lp, O]
+        ok_pl = (
+            (np.arange(O)[None, :] < st.pl_obs_count[pl_ids][:, None])
+            & (kf_obs >= 0)
+            & (kf_to_idx[np.maximum(kf_obs, 0)] >= 0)
+        )
+        li_arr, j_arr = np.nonzero(ok_pl)
+        q = len(li_arr)
+        pobs_cam[:q] = kf_to_idx[kf_obs[li_arr, j_arr]]
+        pobs_plane[:q] = li_arr
+        pobs_pi[:q] = st.pl_obs_pi[pl_ids[li_arr], j_arr]
+        pobs_w[:q] = np.maximum(st.pl_obs_w[pl_ids[li_arr], j_arr], 1e-3)
+        pobs_valid[:q] = True
     E = max(len(st.ppe_a), 1)
     pl_index = {int(l): i for i, l in enumerate(pl_ids)}
     pp_a = np.zeros(E, np.int32)
@@ -180,6 +213,7 @@ def global_bundle_adjust(
     settle_iters: int = 4,
     stage1_iters: int = 4,
     stage2_iters: int = 8,
+    distributed: bool | None = None,
 ) -> bool:
     """Run global BA over the whole map and write results back.
 
@@ -189,14 +223,33 @@ def global_bundle_adjust(
     2. full Schur-complement LM (solver/ba.py bundle_adjust) for quadratic
        final convergence — the part round 2 was missing.
 
-    Returns True if the Newton stage ran, False if only the settle did.
+    `distributed`: None (auto) runs the dense single-device Newton while the
+    Schur Y tensor fits GBA_MAX_Y_ELEMS and otherwise shards the map over
+    the local device mesh (parallel/dist_ba.py); True forces the sharded
+    solver; False never uses it (big maps then settle longer, the bounded-
+    memory fallback).
+
+    Returns True if a Newton-type stage (dense or distributed) ran.
     """
     st = store
+    if distributed is True:
+        if dist_global_bundle_adjust(st, intr, n_iters=stage1_iters + stage2_iters):
+            return True
+        # map too small to shard: fall through to the dense path
+
     with st.lock:
         out = assemble_global_problem(st, intr)
     if out is None:
         return False
     prob, kf_ids, pt_ids, pl_ids = out
+
+    M, P = prob.poses.shape[0], prob.points.shape[0]
+    newton = P * 6 * M * 3 <= GBA_MAX_Y_ELEMS
+    if not newton and distributed is None:
+        # auto mode: the dense Schur tensor would not fit — shard the map
+        # over the local mesh instead of degrading to settle-only
+        if dist_global_bundle_adjust(st, intr, n_iters=stage1_iters + stage2_iters):
+            return True
 
     poses, points = prob.poses, prob.points
     if settle_iters > 0:
@@ -207,8 +260,6 @@ def global_bundle_adjust(
             intr, n_iters=settle_iters,
         )
 
-    M, P = prob.poses.shape[0], prob.points.shape[0]
-    newton = P * 6 * M * 3 <= GBA_MAX_Y_ELEMS
     if newton:
         prob = prob._replace(poses=poses, points=points)
         res = bundle_adjust(
@@ -235,3 +286,83 @@ def global_bundle_adjust(
             st.pl_coef[pl_ids] = new_planes[: len(pl_ids)]
         st.version += 1
     return newton
+
+
+def dist_global_bundle_adjust(
+    store,
+    intr: Intrinsics,
+    n_shards: int | None = None,
+    n_iters: int = 12,
+    settle_iters: int = 4,
+) -> bool:
+    """Global BA with keyframes + map blocks sharded over the device mesh.
+
+    The live-System entry to parallel/dist_ba.py (the BASELINE.json north
+    star: Optimizer::GlobalBundleAdjustment at scale — SURVEY.md §2.2, §5
+    locality row): trajectory-segment partitioning (strategy="segments")
+    assigns each map point to its owning keyframe's segment, the sharded LM
+    loop reduces the Schur camera system with one psum per iteration, and
+    results scatter back into the MapStore.
+
+    Points-only (the reference's GBA is too: plane terms enter through the
+    pose-graph and local BA); planes keep their PGO-corrected values.
+
+    Returns True if the sharded solve ran and wrote back, False when the map
+    is too small to shard (callers fall back to the dense path).
+    """
+    import jax as _jax
+
+    from ..parallel.dist_ba import dist_bundle_adjust, partition_problem
+
+    st = store
+    devices = _jax.devices()
+    D = n_shards or len(devices)
+    D = min(D, len(devices))
+    with st.lock:
+        flat = _flatten_point_obs(st, st.cfg.max_obs_per_point)
+        if flat is None:
+            return False
+        kf_ids, pt_ids = flat["kf_ids"], flat["pt_ids"]
+        if D < 2 or len(pt_ids) < 64 * D:
+            return False
+        poses = st.kf_pose[kf_ids].astype(np.float32).copy()
+        points = st.pt_pos[pt_ids].astype(np.float32).copy()
+        # owning keyframe in compact index space (reference keyframe when
+        # still valid, else the point's first observing camera)
+        ref = st.pt_ref_kf[pt_ids]
+        ref_ok = (ref >= 0) & st.kf_valid[np.maximum(ref, 0)]
+        pt_ref_compact = np.where(
+            ref_ok, flat["kf_to_idx"][np.maximum(ref, 0)], -1
+        ).astype(np.int64)
+
+    first = np.full(len(pt_ids), len(flat["rows"]), np.int64)
+    np.minimum.at(first, flat["rows"], np.arange(len(flat["rows"])))
+    seen = first < len(flat["rows"])
+    fallback_ref = np.zeros(len(pt_ids), np.int64)
+    fallback_ref[seen] = flat["cam_idx"][first[seen]]
+    pt_ref_compact = np.where(pt_ref_compact >= 0, pt_ref_compact, fallback_ref)
+
+    pose_fixed = np.zeros(len(kf_ids), bool)
+    pose_fixed[0] = True  # gauge
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(devices[:D]), ("ba",))
+    prob, shard_of_pt, local_idx = partition_problem(
+        poses, pose_fixed, points,
+        flat["cam_idx"].astype(np.int32), flat["rows"].astype(np.int64),
+        flat["uv"], flat["ur"],
+        np.asarray(octave_inv_sigma2(jnp.asarray(flat["octave"]))),
+        n_shards=D,
+        obs_per_point=st.cfg.max_obs_per_point,
+        pt_ref_kf=pt_ref_compact,
+        strategy="segments",
+        return_mapping=True,
+    )
+    new_poses, new_points, _cost = _jax.device_get(
+        dist_bundle_adjust(prob, intr, mesh, n_iters=n_iters)
+    )
+    with st.lock:
+        st.kf_pose[kf_ids] = new_poses
+        st.pt_pos[pt_ids] = new_points[shard_of_pt, local_idx]
+        st.version += 1
+    return True
