@@ -109,6 +109,58 @@ def main():
             file=sys.stderr,
         )
 
+    # ---- loop-closure lane (BASELINE config #4: full loop closing + PGO +
+    # global BA on a revisit trajectory; fps here includes the closure's
+    # latency spike) ----
+    loop_fps = loop_rmse = n_loops = None
+    if os.environ.get("BENCH_LOOP", "1") != "0":
+        loop_frames = int(os.environ.get("BENCH_LOOP_FRAMES", "64"))
+        print(f"rendering {loop_frames}-frame loop sequence...", file=sys.stderr)
+        lseq = make_sequence(
+            n_frames=loop_frames, trajectory="loop", depth_noise=0.004
+        )
+
+        def make_loop_system():
+            return System(SystemConfig(
+                intr=lseq.intr, local_ba=True, async_mapping=True,
+                use_loop=True, tracker=TrackerConfig(th_depth=3.2),
+            ))
+
+        warm = make_loop_system()
+        for (gray, depth), ts in zip(lseq.frames[:12], lseq.timestamps[:12]):
+            warm.track_rgbd(gray, depth, ts)
+        warm.shutdown()
+        print("loop warmup done, timing...", file=sys.stderr)
+        sys_l = make_loop_system()
+        ltimes = []
+        # real-time camera pacing, like the reference's rgbd_tum.cc driver:
+        # frames arrive at their 30 fps timestamps (sleep when tracking is
+        # faster than the camera), and the metric is per-frame tracking
+        # LATENCY.  Unpaced feeding would spin the camera through a full
+        # revolution in ~1 wall-second — ~10x any physical camera motion —
+        # which starves the async mapper of the wall time the real system
+        # has between frames.
+        t_start = time.perf_counter()
+        for (gray, depth), ts in zip(lseq.frames, lseq.timestamps):
+            tgt = t_start + (float(ts) - float(lseq.timestamps[0]))
+            now = time.perf_counter()
+            if now < tgt:
+                time.sleep(tgt - now)
+            t0 = time.perf_counter()
+            sys_l.track_rgbd(gray, depth, ts)
+            ltimes.append(time.perf_counter() - t0)
+        sys_l.shutdown()
+        lsteady = np.array(ltimes[5:]) if len(ltimes) > 10 else np.array(ltimes)
+        loop_fps = 1.0 / float(np.median(lsteady))
+        loop_rmse, _ = ate_rmse(sys_l.poses(), lseq.poses_gt)
+        n_loops = int(sys_l.loop_closer.n_loops_closed)
+        print(
+            f"loop: median {np.median(lsteady)*1000:.1f} ms/frame "
+            f"(max spike {lsteady.max()*1000:.0f} ms), "
+            f"ATE {loop_rmse*1000:.2f} mm, loops_closed={n_loops}",
+            file=sys.stderr,
+        )
+
     out = {
         "metric": "tracking_fps",
         "value": round(fps, 2),
@@ -119,6 +171,10 @@ def main():
     if planes_fps is not None:
         out["planes_fps"] = round(planes_fps, 2)
         out["planes_ate_rmse_m"] = round(planes_rmse, 5)
+    if loop_fps is not None:
+        out["loop_fps"] = round(loop_fps, 2)
+        out["loop_ate_rmse_m"] = round(loop_rmse, 5)
+        out["n_loops_closed"] = n_loops
     print(json.dumps(out))
 
 

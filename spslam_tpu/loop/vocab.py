@@ -100,11 +100,25 @@ class Vocabulary:
 
     def bow_vector(self, desc_packed: np.ndarray) -> dict[int, float]:
         """TF-IDF-weighted, L1-normalized bag of words for one keyframe.
-        Pure: does not mutate vocabulary state."""
+        Pure: does not mutate vocabulary state.
+
+        The descriptor count is padded to a power-of-two bucket (>=1024)
+        before quantization: every keyframe has a different valid-descriptor
+        count, and an unpadded call would compile a fresh XLA program per
+        count — ~30 s each through the TPU tunnel, which starved the async
+        mapper and broke the loop lane's on-chip benchmark."""
         if not self.trained or len(desc_packed) == 0:
             return {}
-        bits = unpack_bits(jnp.asarray(desc_packed))
-        words = np.asarray(quantize(bits, self.vocab_bits, jnp.ones(len(desc_packed), bool)))
+        n = len(desc_packed)
+        cap = 1024
+        while cap < n:
+            cap *= 2
+        padded = np.zeros((cap, 8), np.uint32)
+        padded[:n] = desc_packed
+        pvalid = np.zeros(cap, bool)
+        pvalid[:n] = True
+        bits = unpack_bits(jnp.asarray(padded))
+        words = np.asarray(quantize(bits, self.vocab_bits, jnp.asarray(pvalid)))
         counts = np.bincount(words[words >= 0], minlength=self.n_words).astype(np.float64)
         tf = counts / max(counts.sum(), 1.0)
         v = tf * self.idf

@@ -107,11 +107,16 @@ class MapStore:
     # keyframes
     # ------------------------------------------------------------------
 
-    def add_keyframe(self, T_cw, ts, frame_np: dict, frame_id: int) -> int:
+    def add_keyframe(self, T_cw, ts, frame_np: dict, frame_id: int,
+                     parent: int = -1) -> int:
         """frame_np: dict of numpy arrays from FrameData (uv, octave, angle,
-        desc, depth, u_right, valid)."""
+        desc, depth, u_right, valid).  `parent` is the spanning-tree parent
+        (the tracker's reference keyframe at insertion — the reference's
+        KeyFrame::ChangeParent/mpParent, used for essential-graph spanning
+        edges and erase-time re-parenting)."""
         k = self.n_kf
         assert k < self.cfg.max_keyframes, "keyframe capacity exceeded"
+        self.kf_parent[k] = parent if 0 <= parent < k else -1
         self.kf_pose[k] = T_cw
         self.kf_ts[k] = ts
         self.kf_frame_id[k] = frame_id

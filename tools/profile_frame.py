@@ -118,7 +118,7 @@ def main():
             cfg.motion_search_radius, cfg.local_search_radius, cfg.th_depth,
             spec, intr, cfg.n_features, cfg.th_fast_high, cfg.th_fast_low,
         )
-        jax.block_until_ready(out[1])
+        jax.block_until_ready(out[1:])
 
     r["track_frame_step(fused)"] = timeit(fused, n)
 

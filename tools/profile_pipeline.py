@@ -74,7 +74,7 @@ def main():
     Tp, Tp2 = T0, T0
     last = None
     for _ in range(n):
-        frame, out = step(frame_j, Tp, Tp2)
+        frame, out, _big = step(frame_j, Tp, Tp2)
         Tp2, Tp = Tp, jax.lax.bitcast_convert_type(out[0:7], jnp.float32)
         last = out
     jax.block_until_ready(last)
@@ -95,7 +95,7 @@ def main():
     Tp, Tp2 = T0, T0
     for i in range(n):
         fb = jnp.asarray(bufs[i])
-        frame, out = step(fb, Tp, Tp2)
+        frame, out, _big = step(fb, Tp, Tp2)
         Tp2, Tp = Tp, jax.lax.bitcast_convert_type(out[0:7], jnp.float32)
     jax.block_until_ready(out)
     b2_ms = (time.perf_counter() - t0) / n * 1000
@@ -107,7 +107,7 @@ def main():
     pend = []
     for i in range(n):
         fb = jnp.asarray(bufs[i])
-        frame, out = step(fb, Tp, Tp2)
+        frame, out, _big = step(fb, Tp, Tp2)
         Tp2, Tp = Tp, jax.lax.bitcast_convert_type(out[0:7], jnp.float32)
         out.copy_to_host_async()
         pend.append(out)

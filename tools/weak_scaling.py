@@ -85,6 +85,8 @@ def main():
         prob = partition_problem(
             poses, fixed, pts, oc, op, ouv, our,
             np.ones(len(oc), np.float32), D,
+            strategy="segments",   # trajectory-segment + map-block layout,
+                                   # same as the live System's dist GBA
         )
         mesh = Mesh(np.array(jax.devices()[:D]), ("ba",))
         # warmup/compile
