@@ -114,7 +114,11 @@ def main():
     # latency spike) ----
     loop_fps = loop_rmse = n_loops = None
     if os.environ.get("BENCH_LOOP", "1") != "0":
-        loop_frames = int(os.environ.get("BENCH_LOOP_FRAMES", "64"))
+        # 128 frames @30fps = 105 deg/s camera yaw — still fast motion, but
+        # the 64-frame variant spins at 210 deg/s, far beyond any handheld
+        # dataset, and leaves the revisit window only ~4 keyframes wide
+        # (the detector's 3-consecutive-consistency chain cannot build)
+        loop_frames = int(os.environ.get("BENCH_LOOP_FRAMES", "128"))
         print(f"rendering {loop_frames}-frame loop sequence...", file=sys.stderr)
         lseq = make_sequence(
             n_frames=loop_frames, trajectory="loop", depth_noise=0.004
@@ -130,6 +134,13 @@ def main():
         for (gray, depth), ts in zip(lseq.frames[:12], lseq.timestamps[:12]):
             warm.track_rgbd(gray, depth, ts)
         warm.shutdown()
+        # compile the closure machinery (pose graph, global BA, RANSAC,
+        # guided match, point correction) ahead of the timed run — a loop
+        # closure fires mid-sequence, and a first-use XLA compile there
+        # would masquerade as a closure latency spike
+        from spslam_tpu.loop.precompile import warm_loop_machinery
+
+        warm_loop_machinery(lseq.intr)
         print("loop warmup done, timing...", file=sys.stderr)
         sys_l = make_loop_system()
         ltimes = []

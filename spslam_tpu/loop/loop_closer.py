@@ -247,7 +247,11 @@ class LoopCloser:
         )
 
     def _geometric_check(self, kf: int, cand: int):
-        """MXU descriptor match + 3D-3D RANSAC between two keyframes."""
+        """MXU descriptor match + 3D-3D RANSAC between two keyframes, then
+        one round of guided-match growth (the reference's SearchBySim3 +
+        second OptimizeSim3 pass): the accepted alignment projects the
+        candidate's keypoints into the current keyframe as a window gate,
+        the grown match set re-estimates the transform."""
         st = self.store
         cfg = self.cfg
 
@@ -267,7 +271,8 @@ class LoopCloser:
         if m.sum() < cfg.min_inliers:
             return False, None
         # unproject both sides (camera frames)
-        from ..geometry.camera import unproject
+        from ..geometry.camera import project, unproject
+        from ..ops.match import TH_HIGH, search_by_projection
 
         uv_a = jnp.asarray(st.kf_uv[kf])
         d_a = jnp.asarray(st.kf_depth[kf])
@@ -281,6 +286,41 @@ class LoopCloser:
         align = ransac_align(pa, pb, jnp.asarray(m), sub)
         if int(align.n_inliers) < cfg.min_inliers:
             return False, None
+
+        # --- guided growth: project ALL of cand's depth-backed keypoints
+        # into kf's camera with the accepted alignment and re-match inside
+        # octave-scaled windows (matches the BoW-free pass misses on
+        # marginal revisits), then re-estimate from the grown set
+        pb_all = unproject(
+            self.intr, jnp.asarray(st.kf_uv[cand]), jnp.asarray(st.kf_depth[cand])
+        )
+        pa_pred = se3_apply(se3_inverse(align.T_ba), pb_all)
+        uv_pred = project(self.intr, pa_pred)
+        oct_b = jnp.asarray(st.kf_octave[cand])
+        rows_ok = valid_b & (pa_pred[:, 2] > 0.05)
+        res2 = search_by_projection(
+            uv_pred, bits_b, rows_ok, oct_b,
+            jnp.asarray(st.kf_uv[kf]), bits_a, valid_a,
+            jnp.asarray(st.kf_octave[kf]),
+            jnp.asarray(st.kf_angle[kf]), jnp.asarray(st.kf_angle[cand]),
+            10.0 * 1.2 ** oct_b.astype(jnp.float32),
+            max_dist=TH_HIGH, ratio=0.95, check_rotation=False,
+        )
+        m2 = np.asarray(res2.valid)
+        idx2 = np.maximum(np.asarray(res2.idx), 0)
+        m2 = m2 & (st.kf_depth[kf][idx2] > 1e-3)
+        if m2.sum() > m.sum():
+            pa2 = unproject(
+                self.intr, jnp.asarray(st.kf_uv[kf][idx2]),
+                jnp.asarray(st.kf_depth[kf][idx2]),
+            )
+            self._rng_key, sub = jax.random.split(self._rng_key)
+            align2 = ransac_align(pa2, pb_all, jnp.asarray(m2), sub)
+            # NOTE row/col flip: rows are cand keypoints here, so align2 maps
+            # kf-side points (pa2) to cand-side points — same orientation as
+            # the first estimate
+            if int(align2.n_inliers) >= int(align.n_inliers):
+                align = align2
         return True, align.T_ba
 
     # -----------------------------------------------------------------
@@ -364,7 +404,7 @@ class LoopCloser:
         if len(pts) == 0:
             return
         n = len(pts)
-        cap = 1024
+        cap = 8192   # floor matches loop/precompile.py's warm shape
         while cap < n:
             cap *= 2
         sel = np.zeros(cap, np.int64)

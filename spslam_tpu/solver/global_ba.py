@@ -30,6 +30,15 @@ from .robust import octave_inv_sigma2
 
 GBA_MAX_Y_ELEMS = 2 ** 29  # ~2 GiB of f32 for the [P, 6M, 3] Schur tensor
 
+# Padding floors for the dense global problem.  High enough that typical
+# single-run maps land in ONE compiled shape — each fresh shape costs a full
+# XLA compile (~30-60 s through the TPU tunnel), and the post-loop GBA runs
+# mid-sequence where a compile is a fake latency spike.  bench.py pre-warms
+# this shape via a dummy map (loop/precompile.py).
+GBA_MIN_M = 32      # keyframes
+GBA_MIN_P = 8192    # points
+GBA_MIN_R = 32768   # observations
+
 
 def _pow2(n: int, lo: int) -> int:
     p = lo
@@ -102,9 +111,9 @@ def assemble_global_problem(store, intr: Intrinsics, omax: int | None = None):
     rows = flat["rows"]
     n_obs = len(rows)
 
-    M = _pow2(len(kf_ids), 16)
-    P = _pow2(len(pt_ids), 1024)
-    R = _pow2(max(n_obs, 1), 2048)
+    M = _pow2(len(kf_ids), GBA_MIN_M)
+    P = _pow2(len(pt_ids), GBA_MIN_P)
+    R = _pow2(max(n_obs, 1), GBA_MIN_R)
     obs_cam = np.zeros(R, np.int32)
     obs_pt = np.zeros(R, np.int32)
     obs_uv = np.zeros((R, 2), np.float32)

@@ -75,6 +75,18 @@ class TrackerConfig:
     # before the frame replays through the robust sync path
     jump_gate_t: float = 0.25
     jump_gate_r: float = 0.35
+    # max queued+in-flight keyframes before ordinary insertion throttles
+    # (the reference's mlNewKeyFrames < 3 bound)
+    kf_queue_cap: int = 3
+    # URGENT coverage floor: a keyframe inserts even with a deep mapping
+    # queue when the inlier count PROJECTED pipeline_depth frames ahead
+    # (linear extrapolation of the per-frame decay) falls below this.  On
+    # fast rotation coverage decays ~30%/frame and the pipelined tracker
+    # has 2 frames in flight on the old local map — reacting on the current
+    # count via the reference's relative gates is 2 frames too late and
+    # tracking collapses; an absolute floor leaves slow-motion keyframe
+    # cadence (the reference's gates) untouched.
+    kf_urgent_cover: int = 100
 
 
 @dataclass
@@ -585,6 +597,7 @@ class Tracker:
         self.T_cw = np.asarray(T_new)
         self.state = TrackState.OK
         self.frames_since_kf += 1
+        n2_prev = self.last_inliers
         self.last_inliers = n2
 
         matched = mp >= 0
@@ -596,7 +609,8 @@ class Tracker:
         found = mids[inl]
         self.store.pt_found[found[found >= 0]] += 1
 
-        need_kf = self._need_new_kf(n2, n_close_tracked, close_avail)
+        need_kf = self._need_new_kf(n2, n_close_tracked, close_avail,
+                                    n2_prev=n2_prev)
         if need_kf:
             frame_pack, fdesc = unpack_track_big(
                 np.asarray(p["out_big"]), cfg.n_features
@@ -802,6 +816,7 @@ class Tracker:
         self.T_cw = T_new
         self.state = TrackState.OK
         self.frames_since_kf += 1
+        n2_prev = self.last_inliers
         self.last_inliers = n2
 
         # update found/visible stats
@@ -827,7 +842,8 @@ class Tracker:
                 & frame_np["valid"]
             )
         )
-        need_kf = self._need_new_kf(n2, n_close_tracked, close_avail)
+        need_kf = self._need_new_kf(n2, n_close_tracked, close_avail,
+                                    n2_prev=n2_prev)
         if need_kf:
             kf = self._insert_keyframe(
                 frame, ts,
@@ -843,7 +859,8 @@ class Tracker:
         )
 
     # -----------------------------------------------------------------
-    def _need_new_kf(self, n2: int, n_close_tracked: int, close_avail: int) -> bool:
+    def _need_new_kf(self, n2: int, n_close_tracked: int, close_avail: int,
+                     n2_prev: int | None = None) -> bool:
         """Reference Tracking::NeedNewKeyFrame semantics (RGB-D): compare the
         current inlier count against the reference KF's points tracked with
         at least nMinObs observations, where nMinObs relaxes to 2 while the
@@ -867,6 +884,13 @@ class Tracker:
             n_close_tracked < cfg.new_kf_close_points
             and close_avail - n_close_tracked > 70
         )
+        # urgency: extrapolate the inlier decay over the frames already in
+        # flight on the old local map (pipelined dispatches see a new
+        # keyframe's points only pipeline_depth frames later)
+        n2_proj = n2
+        if n2_prev is not None and n2 < n2_prev:
+            n2_proj = n2 + self.pipeline_depth * (n2 - n2_prev)
+        urgent = n2_proj < cfg.kf_urgent_cover
         weak = n2 < 0.25 * ref_tracked
         queue_len = 0 if self.mapper_queue_fn is None else self.mapper_queue_fn()
         mapper_idle = queue_len == 0
@@ -876,22 +900,22 @@ class Tracker:
         # as long as its queue is short (InterruptBA + mlNewKeyFrames<3)
         c1a = self.frames_since_kf >= cfg.kf_max_interval
         c1b = self.frames_since_kf >= cfg.kf_min_interval and mapper_idle
-        c1c = weak or need_close
+        c1c = weak or need_close or urgent
         c2 = (
             (n2 < cfg.kf_tracked_ratio * ref_tracked or need_close)
             and n2 > cfg.kf_min_inliers
         )
         if not (c1a or ((c1b or c1c) and c2)):
             return False
-        # urgent insertions (weak tracking / starving close points) go in even
-        # when the mapping queue is deep — the reference InterruptBA()s and
-        # inserts in the same situation; here KF insertion itself extends the
-        # local map (the tracker creates the depth-backed points inline), so
-        # dropping an urgent KF while the mapper is busy starves tracking of
-        # map coverage exactly when the view is moving into new territory
-        # (on-chip loop-lane failure mode: mapper compile stall -> queue full
-        # -> no KFs -> inliers collapse -> LOST)
-        return mapper_idle or queue_len < 3 or c1a or c1c
+        # urgent insertions (projected coverage collapse) go in even when
+        # the mapping queue is deep — the reference InterruptBA()s and
+        # inserts in the same situation; here KF insertion itself extends
+        # the local map (the tracker creates the depth-backed points
+        # inline), so dropping an urgent KF while the mapper is busy starves
+        # tracking of map coverage exactly when the view is moving into new
+        # territory (on-chip loop-lane failure mode: mapper stall -> queue
+        # full -> no KFs -> inliers collapse -> LOST)
+        return mapper_idle or queue_len < cfg.kf_queue_cap or c1a or urgent
 
     # -----------------------------------------------------------------
     def _relocalize(self, frame: FrameData):
