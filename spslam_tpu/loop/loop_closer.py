@@ -47,6 +47,11 @@ class LoopConfig:
     min_interval_kfs: int = 10      # don't match very recent keyframes
     consistency_needed: int = 3     # consecutive consistent detections
     min_inliers: int = 20           # RANSAC inliers to accept (reference: 20)
+    # absolute floor under the covisibility min-score gate (the reference's
+    # DetectLoop accepts any positive minScore; with a small flat vocabulary
+    # near-zero similarity floods candidates, so a floor is needed — 0.015
+    # passes the canonical loop suite, 0.05+ was the round-2 recall bug)
+    min_score_floor: float = 0.015
     covis_edge_weight: int = 30     # covisibility edges in the essential graph
     loop_edge_weight: float = 10.0
     pose_graph_iters: int = 20
@@ -111,7 +116,7 @@ class LoopCloser:
         # gate down, exactly like the reference; gating on only the strongest
         # neighbors (scores ~0.3 between consecutive frames) rejects genuine
         # revisit candidates and resets the consistency chain (round-2 bug).
-        min_score = 0.015
+        min_score = self.cfg.min_score_floor
         covis_scores = [
             s for s in (
                 bow_similarity(bow, self.kfdb.bow.get(int(c), {}))

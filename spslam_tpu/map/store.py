@@ -98,6 +98,11 @@ class MapStore:
         self.ppe_type = np.zeros(0, np.int32)  # 0 parallel, 1 perpendicular
         # monotonically increasing map version (bumped by any writer)
         self.version = 0
+        # topology version: bumped only when the SET of keyframes / points /
+        # observations changes (not when BA/PGO rewrite values) — lets the
+        # tracker's local-map snapshot skip recomputing covisibility and ids
+        # on value-only updates and just re-gather the same rows
+        self.topo_version = 0
         # callbacks invoked with the KF id when a keyframe is erased (the
         # reference's KeyFrame::SetBadFlag notifies the KeyFrameDatabase so
         # culled KFs stop being loop/reloc candidates — SURVEY.md §2 #13)
@@ -131,6 +136,7 @@ class MapStore:
         self.kf_valid[k] = True
         self.n_kf += 1
         self.version += 1
+        self.topo_version += 1
         return k
 
     def set_kf_pose(self, k: int, T_cw):
@@ -147,6 +153,7 @@ class MapStore:
         children = np.nonzero((self.kf_parent == k) & self.kf_valid)[0]
         self.kf_parent[children] = self.kf_parent[k]
         self.version += 1
+        self.topo_version += 1
         for hook in self.erase_kf_hooks:
             hook(k)
 
@@ -175,6 +182,7 @@ class MapStore:
         self.pt_found[p] = 1
         self.n_pt += 1
         self.version += 1
+        self.topo_version += 1
         return p
 
     def add_points_bulk(self, pos, desc, normal, dist, ref_kf: int, slots,
@@ -205,6 +213,7 @@ class MapStore:
         self.kf_obs[ref_kf, slots] = ids
         self.n_pt += n
         self.version += 1
+        self.topo_version += 1
         return ids
 
     def add_observations_bulk(self, pids, kf: int, slots):
@@ -220,6 +229,7 @@ class MapStore:
         self.pt_n_obs[pids] = c + 1
         self.kf_obs[kf, slots] = pids
         self.version += 1
+        self.topo_version += 1
 
     def add_observation(self, p: int, kf: int, slot: int):
         if self.kf_obs[kf, slot] >= 0:
@@ -232,6 +242,7 @@ class MapStore:
         self.pt_n_obs[p] = c + 1
         self.kf_obs[kf, slot] = p
         self.version += 1
+        self.topo_version += 1
 
     def remove_observation(self, p: int, kf: int):
         mask = self.pt_obs_kf[p] == kf
@@ -252,6 +263,7 @@ class MapStore:
         if self.pt_n_obs[p] <= 1 and self.pt_valid[p]:
             self.erase_point(p)
         self.version += 1
+        self.topo_version += 1
 
     def erase_point(self, p: int):
         for i in range(self.pt_n_obs[p]):
@@ -263,6 +275,7 @@ class MapStore:
         self.pt_n_obs[p] = 0
         self.pt_valid[p] = False
         self.version += 1
+        self.topo_version += 1
 
     def replace_point(self, old: int, new: int):
         """Fuse: redirect all observations of `old` to `new` (the reference's
@@ -292,6 +305,7 @@ class MapStore:
         self.pt_n_obs[old] = 0
         self.pt_valid[old] = False
         self.version += 1
+        self.topo_version += 1
 
     # ------------------------------------------------------------------
     # planes

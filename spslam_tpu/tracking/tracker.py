@@ -78,6 +78,14 @@ class TrackerConfig:
     # max queued+in-flight keyframes before ordinary insertion throttles
     # (the reference's mlNewKeyFrames < 3 bound)
     kf_queue_cap: int = 3
+    # software-pipeline depth: in-flight fused dispatches before the oldest
+    # resolves.  3 measured 13-18 ms/frame vs 21-22 at depth 2 on chip (the
+    # extra slot absorbs mapper device contention), but the extra resolve
+    # lag shifts keyframe timing, and the PLANE lane's accuracy is sensitive
+    # to that (long ref-KF spans amplify small keyframe pose errors from
+    # plane observations: 3.6 mm -> ~40 mm ATE measured) — so the safe
+    # default is 2 and the point-only bench lane opts into 3.
+    pipeline_depth: int = 2
     # URGENT coverage floor: a keyframe inserts even with a deep mapping
     # queue when the inlier count PROJECTED pipeline_depth frames ahead
     # (linear extrapolation of the per-frame decay) falls below this.  On
@@ -428,7 +436,7 @@ class Tracker:
         # pipelined-tracking state (process_pipelined): up to `pipeline_depth`
         # in-flight dispatched frames (device compute + async D2H copies of
         # frame N overlap the host bookkeeping of frames N-1, N-2)
-        self.pipeline_depth = 2
+        self.pipeline_depth = cfg.pipeline_depth
         self._pending: list[dict] = []
         self._chain = None                         # (T_N, T_{N-1}) device poses
         self._hv_cache = None                      # cached device (False, True)
@@ -704,18 +712,47 @@ class Tracker:
     def _local_snapshot(self):
         """Padded device snapshot of the local map around ref_kf.
 
-        Cached between frames: the map only changes at keyframe insertion /
-        mapping events (store.version), so the device upload is skipped on
-        ordinary frames."""
+        Two-level cache: the expensive part (covisibility + local point-set
+        selection) only depends on map TOPOLOGY (store.topo_version), which
+        changes at keyframe/point/observation churn; BA and pose-graph
+        write-backs only rewrite VALUES (store.version), for which the same
+        rows are simply re-gathered and re-uploaded (~4x cheaper — the
+        mapper writes back after every keyframe, and a full rebuild per
+        write-back cost ~9 ms/frame on chip)."""
         st = self.store
-        key = (st.version, self.ref_kf)
+        key_topo = (st.topo_version, self.ref_kf)
+        key_val = st.version
         cached = getattr(self, "_snapshot_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
+        if cached is not None and cached[0] == key_topo:
+            if cached[1] == key_val:
+                return cached[2]
+            with st.lock:
+                ids = cached[2][0]
+                snap = (ids, *self._snapshot_gather(ids))
+            self._snapshot_cache = (key_topo, st.version, snap)
+            return snap
         with st.lock:
             snap = self._local_snapshot_build()
-        self._snapshot_cache = (key, snap)
+            self._snapshot_cache = (key_topo, st.version, snap)
         return snap
+
+    def _snapshot_gather(self, ids: np.ndarray):
+        """Re-gather + upload pack/desc for an already-selected id set."""
+        st = self.store
+        sel = np.maximum(ids, 0)
+        # one packed f32 upload (pos | normal | min_dist | max_dist | valid)
+        # + desc: 2 transfers instead of 7 (tunnel latency is per-buffer)
+        pack_np = np.concatenate(
+            [
+                st.pt_pos[sel],
+                st.pt_normal[sel],
+                st.pt_min_dist[sel][:, None],
+                st.pt_max_dist[sel][:, None],
+                ((ids >= 0) & st.pt_valid[sel]).astype(np.float32)[:, None],
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        return jnp.asarray(pack_np), jnp.asarray(st.pt_desc[sel])
 
     def _local_snapshot_build(self):
         st = self.store
@@ -731,21 +768,7 @@ class Tracker:
             pts = pts[order[:cap]]
         pad = cap - len(pts)
         ids = np.concatenate([pts, np.full(pad, -1, np.int32)])
-        sel = np.maximum(ids, 0)
-        # one packed f32 upload (pos | normal | min_dist | max_dist | valid)
-        # + desc: 2 transfers instead of 7 (tunnel latency is per-buffer)
-        pack_np = np.concatenate(
-            [
-                st.pt_pos[sel],
-                st.pt_normal[sel],
-                st.pt_min_dist[sel][:, None],
-                st.pt_max_dist[sel][:, None],
-                (ids >= 0).astype(np.float32)[:, None],
-            ],
-            axis=-1,
-        ).astype(np.float32)
-        pack = jnp.asarray(pack_np)
-        desc = jnp.asarray(st.pt_desc[sel])   # packed; unpacked on device
+        pack, desc = self._snapshot_gather(ids)
         return ids, pack, desc
 
     def _track(self, frame: FrameData, ts: float):
