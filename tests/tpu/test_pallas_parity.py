@@ -73,3 +73,54 @@ class TestFusedStepOnChip:
         assert tracker.state.name == "OK"
         assert np.isfinite(tracker.T_cw).all()
         assert store.n_kf >= 1
+
+
+class TestFallbackGateOnChip:
+    def test_cond_gated_fallback_and_split_decode(self):
+        """The lax.cond global fallback must be SKIPPED when the motion seed
+        is strong (scal slot 11 == -1) and must FIRE from a garbage prior;
+        the split small/big output buffers must decode at their layouts."""
+        from spslam_tpu.io.synthetic import make_sequence
+        from spslam_tpu.map.store import MapConfig, MapStore
+        from spslam_tpu.tracking.tracker import (
+            Tracker, TrackerConfig, track_frame_step,
+            unpack_track_big, unpack_track_small,
+        )
+
+        seq = make_sequence(n_frames=6)
+        cfg = TrackerConfig()
+        store = MapStore(MapConfig())
+        tracker = Tracker(cfg, seq.intr, store)
+        for (gray, depth), ts in zip(seq.frames, seq.timestamps):
+            tracker.process_pipelined(gray, depth, ts)
+        tracker.flush_pipeline()
+        assert tracker.state.name == "OK"
+
+        ids, pack, desc = tracker._local_snapshot()
+        gray, depth = seq.frames[-1]
+        fu8 = tracker._upload_frame(gray, depth)
+
+        def step(T_prev):
+            return track_frame_step(
+                fu8, jnp.asarray(T_prev), jnp.asarray(T_prev),
+                jnp.asarray(False), pack, desc,
+                cfg.motion_search_radius, cfg.local_search_radius,
+                cfg.th_depth, tracker.spec, tracker.intr, cfg.n_features,
+                cfg.th_fast_high, cfg.th_fast_low,
+            )
+
+        # strong prior: the true last pose — motion seed tracks, fallback skipped
+        _, small, big = step(tracker.T_cw)
+        scal, mp = unpack_track_small(np.asarray(small), cfg.local_points_cap)
+        fp, de = unpack_track_big(np.asarray(big), cfg.n_features)
+        assert scal[11] == -1.0, f"fallback ran despite strong seed: {scal[11]}"
+        assert scal[8] > 50, "tight stage should track from the true pose"
+        assert fp.shape == (cfg.n_features, 10) and de.shape == (cfg.n_features, 8)
+        assert np.isfinite(fp).all()
+
+        # garbage prior: 5 m away — the motion window misses, fallback fires
+        T_bad = tracker.T_cw.copy()
+        T_bad[4:7] += np.array([5.0, 0, 0], np.float32)
+        _, small2, _ = step(T_bad)
+        scal2, _ = unpack_track_small(np.asarray(small2), cfg.local_points_cap)
+        assert scal2[11] >= 0.0, "fallback must engage from a garbage prior"
