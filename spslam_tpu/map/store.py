@@ -11,7 +11,8 @@ because ownership is single-threaded by construction; the async mapping
 executor operates on snapshots and merges under `version` checks
 (tracking/pipeline.py).
 
-All capacities are fixed at construction; indices are stable for the whole
+Capacities start at MapConfig's values and DOUBLE on demand (host-side
+array swap under the lock; SURVEY §7); indices are stable for the whole
 run (erased entries are masked invalid, ids never reused — simpler merge
 semantics for async BA at the cost of some memory).
 """
@@ -109,6 +110,65 @@ class MapStore:
         self.erase_kf_hooks: list = []
 
     # ------------------------------------------------------------------
+    # capacity growth (SURVEY §7 design stance: "capacity-doubling on host
+    # when full, so every jitted function has static shapes" — indices stay
+    # stable, only the flat array objects are swapped under the lock; jitted
+    # consumers pad independently and recompile at most O(log n) times)
+    # ------------------------------------------------------------------
+
+    def _grow_rows(self, names_fills):
+        for name, fill in names_fills:
+            a = getattr(self, name)
+            b = np.full((a.shape[0] * 2,) + a.shape[1:], fill, a.dtype)
+            b[: a.shape[0]] = a
+            setattr(self, name, b)
+
+    def _ensure_kf_capacity(self):
+        if self.n_kf < self.cfg.max_keyframes:
+            return
+        with self.lock:
+            if self.n_kf < self.cfg.max_keyframes:
+                return
+            self._grow_rows([
+                ("kf_pose", 0.0), ("kf_valid", False), ("kf_ts", 0.0),
+                ("kf_frame_id", -1), ("kf_parent", -1), ("kf_uv", 0.0),
+                ("kf_octave", 0), ("kf_angle", 0.0), ("kf_desc", 0),
+                ("kf_depth", 0.0), ("kf_ur", -1.0), ("kf_kp_valid", False),
+                ("kf_obs", -1),
+            ])
+            self.kf_pose[self.cfg.max_keyframes:, 0] = 1.0
+            self.cfg.max_keyframes *= 2
+
+    def _ensure_pt_capacity(self, n_new: int = 1):
+        if self.n_pt + n_new <= self.cfg.max_points:
+            return
+        with self.lock:
+            while self.n_pt + n_new > self.cfg.max_points:
+                self._grow_rows([
+                    ("pt_pos", 0.0), ("pt_valid", False), ("pt_desc", 0),
+                    ("pt_normal", 0.0), ("pt_min_dist", 0.0),
+                    ("pt_max_dist", 0.0), ("pt_ref_kf", -1),
+                    ("pt_first_kf", -1), ("pt_obs_kf", -1),
+                    ("pt_obs_slot", -1), ("pt_n_obs", 0),
+                    ("pt_visible", 1), ("pt_found", 1),
+                ])
+                self.cfg.max_points *= 2
+
+    def _ensure_pl_capacity(self):
+        if self.n_pl < self.cfg.max_planes:
+            return
+        with self.lock:
+            if self.n_pl < self.cfg.max_planes:
+                return
+            self._grow_rows([
+                ("pl_coef", 0.0), ("pl_valid", False), ("pl_obs_kf", -1),
+                ("pl_obs_pi", 0.0), ("pl_obs_w", 0.0), ("pl_obs_count", 0),
+                ("pl_ref_kf", -1), ("pl_n_pts", 0),
+            ])
+            self.pl_coef[self.cfg.max_planes:, 2] = 1.0
+            self.cfg.max_planes *= 2
+
+    # ------------------------------------------------------------------
     # keyframes
     # ------------------------------------------------------------------
 
@@ -119,8 +179,8 @@ class MapStore:
         (the tracker's reference keyframe at insertion — the reference's
         KeyFrame::ChangeParent/mpParent, used for essential-graph spanning
         edges and erase-time re-parenting)."""
+        self._ensure_kf_capacity()
         k = self.n_kf
-        assert k < self.cfg.max_keyframes, "keyframe capacity exceeded"
         self.kf_parent[k] = parent if 0 <= parent < k else -1
         self.kf_pose[k] = T_cw
         self.kf_ts[k] = ts
@@ -163,8 +223,8 @@ class MapStore:
 
     def add_point(self, pos, desc, normal, ref_kf: int, dist: float,
                   octave: int = 0) -> int:
+        self._ensure_pt_capacity()
         p = self.n_pt
-        assert p < self.cfg.max_points, "map point capacity exceeded"
         self.pt_pos[p] = pos
         self.pt_desc[p] = desc
         self.pt_normal[p] = normal
@@ -193,8 +253,8 @@ class MapStore:
         add_observation) without per-point Python overhead.
         """
         n = len(pos)
+        self._ensure_pt_capacity(n)
         p0 = self.n_pt
-        assert p0 + n <= self.cfg.max_points, "map point capacity exceeded"
         ids = np.arange(p0, p0 + n, dtype=np.int32)
         self.pt_pos[ids] = pos
         self.pt_desc[ids] = desc
@@ -312,8 +372,8 @@ class MapStore:
     # ------------------------------------------------------------------
 
     def add_plane(self, coef, ref_kf: int, n_pts: int) -> int:
+        self._ensure_pl_capacity()
         l = self.n_pl
-        assert l < self.cfg.max_planes, "plane capacity exceeded"
         self.pl_coef[l] = coef
         self.pl_ref_kf[l] = ref_kf
         self.pl_n_pts[l] = n_pts

@@ -59,9 +59,7 @@ class PlaneMapper:
             l = self._associate(pi_w)
             w = cfg.obs_weight_scale * float(inliers[i])
             if l < 0:
-                if st.n_pl >= st.cfg.max_planes:
-                    continue
-                l = st.add_plane(pi_w, kf, int(inliers[i]))
+                l = st.add_plane(pi_w, kf, int(inliers[i]))  # grows on demand
             else:
                 # running refinement of world coefficients (weight by support)
                 w_old = float(st.pl_n_pts[l])

@@ -226,8 +226,14 @@ class System:
             if k in ("n_kf", "n_pt", "n_pl"):
                 setattr(st, k, int(data[k]))
             else:
-                getattr(st, k)[...] = data[k]
+                # adopt the saved capacity (the saved map may have grown past
+                # this store's initial caps, or been saved from smaller ones)
+                setattr(st, k, data[k].copy())
+        st.cfg.max_keyframes = st.kf_pose.shape[0]
+        st.cfg.max_points = st.pt_pos.shape[0]
+        st.cfg.max_planes = st.pl_coef.shape[0]
         st.version += 1
+        st.topo_version += 1
         # resume tracking against the loaded map
         valid_kfs = np.nonzero(st.kf_valid)[0]
         if len(valid_kfs):
