@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..geometry.camera import Intrinsics
 from ..geometry.lie import quat_rotate, se3_q, se3_retract, se3_t
-from .robust import CHI2_2D, CHI2_3D, huber_weight
+from .robust import CHI2_2D, CHI2_3D, huber_weight, solve6
 
 
 class PoseOptResult(NamedTuple):
@@ -139,7 +139,8 @@ def pose_optimization(
             H = jnp.einsum("nri,nrj->ij", Jw, J)
             b = -jnp.einsum("nri,nr->i", Jw, e)  # GN: dx = -(J'WJ)^{-1} J'We
             H = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
-            dx = jnp.linalg.solve(H, b)
+            dx = solve6(H, b)   # unrolled 6x6 Cholesky: one fused kernel
+                                # instead of XLA's general LU latency
             T_new = se3_retract(T, dx)
             # Accept if robust cost decreased (current cost reuses e above —
             # one extra residual evaluation per iteration, not two).

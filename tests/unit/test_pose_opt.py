@@ -88,3 +88,27 @@ class TestPoseOptimization:
         sol = least_squares(resid, np.zeros(6), method="lm", xtol=1e-12)
         T_sp = se3_compose(se3_exp(jnp.array(sol.x, dtype=jnp.float32)), T0)
         assert pose_err(res.T_cw, T_sp) < 2e-3
+
+
+class TestSolve6:
+    def test_matches_numpy_solve(self):
+        """Unrolled 6x6 Cholesky (used inside every LM iteration) vs the
+        numpy dense oracle, single and batched."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from spslam_tpu.solver.robust import solve6
+
+        rng = np.random.default_rng(0)
+        for _ in range(10):
+            A = rng.normal(size=(6, 6))
+            H = (A @ A.T + 0.1 * np.eye(6)).astype(np.float32)
+            b = rng.normal(size=6).astype(np.float32)
+            x = np.asarray(solve6(jnp.asarray(H), jnp.asarray(b)))
+            np.testing.assert_allclose(x, np.linalg.solve(H, b), atol=1e-3)
+        Hb = np.stack([a @ a.T + 0.1 * np.eye(6)
+                       for a in rng.normal(size=(5, 6, 6))]).astype(np.float32)
+        bb = rng.normal(size=(5, 6)).astype(np.float32)
+        xb = np.asarray(solve6(jnp.asarray(Hb), jnp.asarray(bb)))
+        want = np.stack([np.linalg.solve(Hb[i], bb[i]) for i in range(5)])
+        np.testing.assert_allclose(xb, want, atol=1e-3)
