@@ -187,11 +187,37 @@ def _match_and_optimize(
     uv_obs = frame.uv[kp_idx]
     ur_obs = jnp.where(matched, frame.u_right[kp_idx], -1.0)
     inv_s2 = octave_inv_sigma2(frame.octave[kp_idx])
-    opt = pose_optimization(
-        T_init, pt_pos, uv_obs, ur_obs, inv_s2, matched, intr,
-        n_rounds=n_rounds, n_iters=n_iters,
+    opt = _compact_pose_opt(
+        T_init, pt_pos, uv_obs, ur_obs, inv_s2, matched,
+        frame.uv.shape[0], intr, n_rounds, n_iters,
     )
     return opt, jnp.where(matched, res.idx, -1), matched
+
+
+def _compact_pose_opt(T_init, pt_pos, uv_obs, ur_obs, inv_s2, matched,
+                      n_kp: int, intr: Intrinsics, n_rounds: int, n_iters: int):
+    """Pose optimization over a COMPACTED observation buffer.
+
+    The local-map snapshot is PL(=4096)-padded but at most n_kp(=1024)
+    rows can be matched (one keypoint each), and every LM iteration pays a
+    residual+Jacobian evaluation per ROW — compacting matched rows first
+    (stable argsort on the mask) cuts the LM loop's per-iteration work ~4x
+    with bitwise-equivalent math (unmatched rows carry zero weight).
+    The inlier mask is scattered back to the full PL layout.
+    """
+    PL = pt_pos.shape[0]
+    if PL <= n_kp:
+        return pose_optimization(
+            T_init, pt_pos, uv_obs, ur_obs, inv_s2, matched, intr,
+            n_rounds=n_rounds, n_iters=n_iters,
+        )
+    sel = jnp.argsort(jnp.logical_not(matched), stable=True)[:n_kp]
+    opt_c = pose_optimization(
+        T_init, pt_pos[sel], uv_obs[sel], ur_obs[sel], inv_s2[sel],
+        matched[sel], intr, n_rounds=n_rounds, n_iters=n_iters,
+    )
+    inliers_full = jnp.zeros_like(matched).at[sel].set(opt_c.inliers)
+    return opt_c._replace(inliers=inliers_full & matched)
 
 
 @partial(
@@ -297,11 +323,11 @@ def track_frame_step(
             max_dist=TH_LOW, ratio=0.85, check_rotation=False,
         )
         kp_fb = jnp.maximum(res_fb.idx, 0)
-        opt_fb = pose_optimization(
+        opt_fb = _compact_pose_opt(
             T_prev, pt_pos, frame.uv[kp_fb],
             jnp.where(res_fb.valid, frame.u_right[kp_fb], -1.0),
             octave_inv_sigma2(frame.octave[kp_fb]),
-            res_fb.valid, intr, n_rounds=2, n_iters=5,
+            res_fb.valid, frame.uv.shape[0], intr, 2, 5,
         )
         return opt_fb.T_cw, opt_fb.n_inliers
 
@@ -802,11 +828,11 @@ class Tracker:
                 max_dist=TH_LOW, ratio=0.85, check_rotation=False,
             )
             kp_idx = jnp.maximum(res.idx, 0)
-            opt_fb = pose_optimization(
+            opt_fb = _compact_pose_opt(
                 jnp.asarray(self.T_cw), pos, frame.uv[kp_idx],
                 jnp.where(res.valid, frame.u_right[kp_idx], -1.0),
                 octave_inv_sigma2(frame.octave[kp_idx]),
-                res.valid, self.intr,
+                res.valid, cfg.n_features, self.intr, 4, 10,
             )
             if int(opt_fb.n_inliers) < cfg.kf_min_inliers:
                 T_reloc = self._relocalize(frame)
