@@ -139,12 +139,16 @@ def main():
             warm.track_rgbd(gray, depth, ts)
         warm.shutdown()
         # compile the closure machinery (pose graph, global BA, RANSAC,
-        # guided match, point correction) ahead of the timed run — a loop
-        # closure fires mid-sequence, and a first-use XLA compile there
-        # would masquerade as a closure latency spike
-        from spslam_tpu.loop.precompile import warm_loop_machinery
+        # guided match, point correction) AND the sync/robust tracking path
+        # ahead of the timed run — a loop closure or anomaly replay fires
+        # mid-sequence, and a first-use XLA compile there would masquerade
+        # as a latency spike
+        from spslam_tpu.loop.precompile import (
+            warm_loop_machinery, warm_sync_tracking,
+        )
 
         warm_loop_machinery(lseq.intr)
+        warm_sync_tracking(lseq.intr, lseq.frames, lseq.timestamps)
         print("loop warmup done, timing...", file=sys.stderr)
         sys_l = make_loop_system()
         ltimes = []

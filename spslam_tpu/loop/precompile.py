@@ -118,3 +118,32 @@ def warm_loop_machinery(intr: Intrinsics, map_cfg=None, pose_graph_iters: int = 
     st.add_observations_bulk(ids, 1, slots)
     global_bundle_adjust(st, intr, settle_iters=6, stage1_iters=5,
                          stage2_iters=10, distributed=False)
+
+
+def warm_sync_tracking(intr: Intrinsics, frames, timestamps):
+    """Compile the SYNC/robust tracking-path programs that only execute on
+    anomalies (pose-jump replays, LOST, relocalization) — a mid-run first
+    use would stall tracking for ~30 s per program on the TPU tunnel.
+
+    Feeds a few real frames into a throwaway System, then teleports the pose
+    5 m sideways and tracks one more frame: the motion-model stage fails,
+    the global-fallback match+optimize runs, and the relocalization
+    machinery (BoW query + keyframe matching + 3D-3D RANSAC) fires.
+    """
+    import numpy as np
+
+    from ..system import System, SystemConfig
+
+    sys_ = System(SystemConfig(intr=intr))
+    n = min(len(frames), 4)
+    for (g, d), ts in zip(frames[: n - 1], timestamps[: n - 1]):
+        sys_.track_rgbd(g, d, float(ts))
+    sys_.tracker.flush_pipeline()
+    tr = sys_.tracker
+    if tr.state.name == "OK":
+        tr.velocity = None
+        tr._chain = None
+        tr.T_cw = tr.T_cw + np.array([0, 0, 0, 0, 5.0, 0, 0], np.float32)
+        g, d = frames[n - 1]
+        tr.process(g, d, float(timestamps[n - 1]))
+    sys_.shutdown()
