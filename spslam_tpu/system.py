@@ -53,6 +53,7 @@ class System:
         self.cfg = cfg
         self.store = MapStore(cfg.map)
         self.tracker = Tracker(cfg.tracker, cfg.intr, self.store)
+        self.tracker.depth_factor = cfg.depth_map_factor
         self.mapper = LocalMapper(cfg.mapper, cfg.intr, self.store)
         self.plane_mapper = None
         if cfg.use_planes:

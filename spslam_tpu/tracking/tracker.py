@@ -228,7 +228,7 @@ def _compact_pose_opt(T_init, pt_pos, uv_obs, ur_obs, inv_s2, matched,
     ),
 )
 def track_frame_step(
-    frame_u8, T_prev, T_prev2, has_vel,
+    frame_gray, frame_depth, T_prev, T_prev2, has_vel,
     pt_pack, pt_desc,
     radius_motion, radius2, th_depth,
     spec: PyramidSpec, intr: Intrinsics, n_features: int,
@@ -257,9 +257,12 @@ def track_frame_step(
     bandwidth and host decode time on ordinary frames.
 
     Args:
-      frame_u8: [3, H, W] uint8 — plane 0 is the gray image, planes 1/2 are
-        the low/high bytes of the uint16 raw depth (ONE upload per frame;
-        per-buffer transfer latency over the tunnel dominates).
+      frame_gray: [H, W] uint8 or float32 intensities 0..255, uploaded in
+        the caller's native dtype (the round-3 single-u8-buffer packing cost
+        2-3 ms/frame of host conversion to save per-transfer overhead that
+        turned out to be per-FLUSH — raw uploads ride the same flush free).
+      frame_depth: [H, W] float32 meters, or integer raw units divided by
+        `depth_factor` on device (dtype picks the variant at trace time).
       pt_pack: [PL, 9] f32 local-map snapshot (pos | normal | min_d | max_d
         | valid).
       radius_motion/radius2/th_depth: STATIC python floats — per-call scalar
@@ -287,10 +290,10 @@ def track_frame_step(
     # no motion prior: double the window (covers fast inter-frame motion
     # right after init / relocalization)
     radius1 = jnp.where(has_vel, radius_motion, 2.0 * radius_motion)
-    gray = frame_u8[0].astype(jnp.float32)
-    depth = (
-        frame_u8[1].astype(jnp.float32) + frame_u8[2].astype(jnp.float32) * 256.0
-    ) / depth_factor
+    gray = frame_gray.astype(jnp.float32)
+    depth = frame_depth.astype(jnp.float32)
+    if jnp.issubdtype(frame_depth.dtype, jnp.integer):
+        depth = depth / depth_factor
     pt_pos = pt_pack[:, 0:3]
     pt_normal = pt_pack[:, 3:6]
     pt_mind = pt_pack[:, 6]
@@ -468,6 +471,9 @@ class Tracker:
         self._hv_cache = None                      # cached device (False, True)
         self.jump_gate_t = cfg.jump_gate_t
         self.jump_gate_r = cfg.jump_gate_r
+        # raw-depth divisor, applied ON DEVICE when integer depth is fed
+        # (float inputs are already meters); System overrides from YAML
+        self.depth_factor = 5000.0
         import threading
 
         self._pose_corrected = threading.Event()   # set by loop-closure merge
@@ -482,6 +488,8 @@ class Tracker:
     # -----------------------------------------------------------------
     def process(self, gray: np.ndarray, depth: np.ndarray, ts: float):
         """Track one RGB-D frame; returns (T_cw [7] np, state)."""
+        if np.issubdtype(depth.dtype, np.integer):
+            depth = depth.astype(np.float32) / self.depth_factor
         frame = build_frame(
             jnp.asarray(gray), jnp.asarray(depth), self.spec, self.intr,
             n_features=self.cfg.n_features,
@@ -495,17 +503,20 @@ class Tracker:
         return self.T_cw.copy(), self.state
 
     def _upload_frame(self, gray: np.ndarray, depth: np.ndarray):
-        """Pack gray(u8) + depth(u16, as 2 u8 planes) into ONE [3, H, W] u8
-        upload — per-buffer transfer latency over the tunnel dominates."""
+        """Upload gray as uint8 + depth as uint16 raw units (900 KB total).
+
+        Tunnel BANDWIDTH is a real cost (~2.4 MB of raw f32 measured ~20 ms
+        slower per frame than the 0.9 MB compact pair), so quantizing on
+        host wins; the u8-PACKING into one [3,H,W] buffer from round 3 is
+        gone though — per-buffer overhead is flush-amortized, so two
+        uploads cost the same and skip a 900 KB host stack copy."""
         g = gray if gray.dtype == np.uint8 else np.clip(gray, 0, 255).astype(np.uint8)
         d = (
             depth
             if depth.dtype == np.uint16
-            else np.clip(depth * 5000.0, 0, 65535).astype(np.uint16)
+            else np.clip(depth * self.depth_factor, 0, 65535).astype(np.uint16)
         )
-        d8 = d[None].view(np.uint8).reshape(depth.shape[0], depth.shape[1], 2)
-        buf = np.stack([g, d8[..., 0], d8[..., 1]])
-        return jnp.asarray(buf)
+        return jnp.asarray(g), jnp.asarray(d)
 
     def _dispatch(self, gray: np.ndarray, depth: np.ndarray, ts: float) -> dict:
         """Launch the fused device step for one frame (async, no sync).
@@ -519,7 +530,7 @@ class Tracker:
         paying the tunnel round trip.
         """
         cfg = self.cfg
-        frame_j = self._upload_frame(gray, depth)
+        gray_j, depth_j = self._upload_frame(gray, depth)
         ids, pack, desc = self._local_snapshot()
         if self._pose_corrected.is_set():
             self._chain = None
@@ -550,11 +561,12 @@ class Tracker:
         if self._hv_cache is None:
             self._hv_cache = (jnp.asarray(False), jnp.asarray(True))
         frame, out_small, out_big = track_frame_step(
-            frame_j, T_prev, T_prev2, self._hv_cache[int(has_vel)],
+            gray_j, depth_j, T_prev, T_prev2, self._hv_cache[int(has_vel)],
             pack, desc,
             cfg.motion_search_radius, cfg.local_search_radius, cfg.th_depth,
             self.spec, self.intr, cfg.n_features,
             cfg.th_fast_high, cfg.th_fast_low,
+            depth_factor=self.depth_factor,
         )
         T_new = jax.lax.bitcast_convert_type(out_small[0:7], jnp.float32)
         # only the small buffer's copy starts now; the keyframe bundle stays

@@ -98,11 +98,11 @@ class TestFallbackGateOnChip:
 
         ids, pack, desc = tracker._local_snapshot()
         gray, depth = seq.frames[-1]
-        fu8 = tracker._upload_frame(gray, depth)
+        gray_j, depth_j = tracker._upload_frame(gray, depth)
 
         def step(T_prev):
             return track_frame_step(
-                fu8, jnp.asarray(T_prev), jnp.asarray(T_prev),
+                gray_j, depth_j, jnp.asarray(T_prev), jnp.asarray(T_prev),
                 jnp.asarray(False), pack, desc,
                 cfg.motion_search_radius, cfg.local_search_radius,
                 cfg.th_depth, tracker.spec, tracker.intr, cfg.n_features,

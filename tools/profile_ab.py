@@ -42,6 +42,8 @@ def main():
     d = np.clip(depth * 5000.0, 0, 65535).astype(np.uint16)
     d8 = d[None].view(np.uint8).reshape(depth.shape[0], depth.shape[1], 2)
     frame_u8 = jnp.asarray(np.stack([g, d8[..., 0], d8[..., 1]]))
+    gray_j = jnp.asarray(gray.astype(np.float32))
+    depth_j = jnp.asarray(depth.astype(np.float32))
     PL = cfg.local_points_cap
     pt_pack = jnp.asarray(np.random.RandomState(0).randn(PL, 9).astype(np.float32))
     pt_desc = jnp.asarray(
@@ -52,7 +54,7 @@ def main():
 
     def real(T, T2):
         return track_frame_step(
-            frame_u8, T, T2, hv, pt_pack, pt_desc,
+            gray_j, depth_j, T, T2, hv, pt_pack, pt_desc,
             cfg.motion_search_radius, cfg.local_search_radius, cfg.th_depth,
             spec, intr, cfg.n_features, cfg.th_fast_high, cfg.th_fast_low,
         )

@@ -90,9 +90,9 @@ def main():
     )
 
     # --- fused step -------------------------------------------------------
-    # mirror Tracker._upload_frame: ONE [3, H, W] u8 buffer (gray + depth
-    # lo/hi bytes) and Tracker._local_snapshot_build: [P, 9] pack with the
-    # valid flag in column 8
+    # mirror Tracker._upload_frame (raw native-dtype uploads) and
+    # Tracker._local_snapshot_build: [P, 9] pack with the valid flag in
+    # column 8
     P = cfg.local_points_cap
     rng = np.random.default_rng(0)
     pack_np = np.concatenate(
@@ -105,15 +105,12 @@ def main():
     pack = jnp.asarray(pack_np)
     desc = jnp.asarray(rng.integers(0, 2**32, size=(P, 8), dtype=np.uint64).astype(np.uint32))
     T0 = jnp.asarray(np.array([1, 0, 0, 0, 0, 0, 0], np.float32))
-    d_np = np.clip(depth * 5000.0, 0, 65535).astype(np.uint16)
-    d8 = d_np[None].view(np.uint8).reshape(d_np.shape[0], d_np.shape[1], 2)
-    frame_u8 = jnp.asarray(
-        np.stack([np.clip(gray, 0, 255).astype(np.uint8), d8[..., 0], d8[..., 1]])
-    )
+    gray_j = jnp.asarray(gray.astype(np.float32))
+    depth_j = jnp.asarray(depth.astype(np.float32))
 
     def fused():
         out = track_frame_step(
-            frame_u8, T0, T0, jnp.asarray(False),
+            gray_j, depth_j, T0, T0, jnp.asarray(False),
             pack, desc,
             cfg.motion_search_radius, cfg.local_search_radius, cfg.th_depth,
             spec, intr, cfg.n_features, cfg.th_fast_high, cfg.th_fast_low,

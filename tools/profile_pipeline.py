@@ -3,7 +3,7 @@
 Measures, on the live backend:
   A. pure device throughput of track_frame_step (N chained dispatches on an
      already-uploaded frame, one terminal sync) -> device ms/frame,
-  B. H2D upload throughput (N async uploads of distinct [3,H,W] u8 frames,
+  B. H2D upload throughput (N async uploads of distinct f32 frames,
      one terminal sync) -> upload ms/frame,
   C. D2H drain throughput for the 4 per-frame output buffers,
   D. the full process_pipelined loop on the synthetic orbit (current bench).
@@ -48,8 +48,10 @@ def main():
         d8 = d[None].view(np.uint8).reshape(depth.shape[0], depth.shape[1], 2)
         return np.stack([g, d8[..., 0], d8[..., 1]])
 
-    frames_np = [pack_frame(g, d) for g, d in seq.frames]
+    frames_np = [g.astype(np.float32) for g, d in seq.frames]
+    depths_np = [d.astype(np.float32) for g, d in seq.frames]
     frame_j = jnp.asarray(frames_np[0])
+    depth_j = jnp.asarray(depths_np[0])
     PL = cfg.local_points_cap
     pt_pack = jnp.zeros((PL, 9), jnp.float32)
     pt_desc = jnp.zeros((PL, 8), jnp.uint32)
@@ -57,16 +59,16 @@ def main():
 
     hv = jnp.asarray(True)
 
-    def step(frame_b, T_prev, T_prev2):
+    def step(frame_b, depth_b, T_prev, T_prev2):
         return track_frame_step(
-            frame_b, T_prev, T_prev2, hv,
+            frame_b, depth_b, T_prev, T_prev2, hv,
             pt_pack, pt_desc,
             cfg.motion_search_radius, cfg.local_search_radius, cfg.th_depth,
             spec, intr, cfg.n_features, cfg.th_fast_high, cfg.th_fast_low,
         )
 
     # warmup/compile
-    out = step(frame_j, T0, T0)
+    out = step(frame_j, depth_j, T0, T0)
     jax.block_until_ready(out)
 
     # --- A: pure device throughput (chained dispatches, one sync) --------
@@ -74,7 +76,7 @@ def main():
     Tp, Tp2 = T0, T0
     last = None
     for _ in range(n):
-        frame, out, _big = step(frame_j, Tp, Tp2)
+        frame, out, _big = step(frame_j, depth_j, Tp, Tp2)
         Tp2, Tp = Tp, jax.lax.bitcast_convert_type(out[0:7], jnp.float32)
         last = out
     jax.block_until_ready(last)
@@ -95,7 +97,7 @@ def main():
     Tp, Tp2 = T0, T0
     for i in range(n):
         fb = jnp.asarray(bufs[i])
-        frame, out, _big = step(fb, Tp, Tp2)
+        frame, out, _big = step(fb, depth_j, Tp, Tp2)
         Tp2, Tp = Tp, jax.lax.bitcast_convert_type(out[0:7], jnp.float32)
     jax.block_until_ready(out)
     b2_ms = (time.perf_counter() - t0) / n * 1000
@@ -107,7 +109,7 @@ def main():
     pend = []
     for i in range(n):
         fb = jnp.asarray(bufs[i])
-        frame, out, _big = step(fb, Tp, Tp2)
+        frame, out, _big = step(fb, depth_j, Tp, Tp2)
         Tp2, Tp = Tp, jax.lax.bitcast_convert_type(out[0:7], jnp.float32)
         out.copy_to_host_async()
         pend.append(out)
