@@ -137,6 +137,12 @@ class LoopCloser:
             (cand, set(int(c) for c in st.covisibility(cand, min_weight=5)) | {cand})
             for cand, _score in cands
         ]
+        # NOTE: skipping the consistency chain right after a verified
+        # closure (on the theory that a sustained revisit makes follow-ups
+        # near-certain) was tried and measurably HURTS: the 3D-3D RANSAC
+        # alone accepts aliased candidates on repetitive texture and one
+        # bad closure wrecks the map (ATE 36-97 mm -> 227 mm measured).
+        # The reference's 3-consecutive requirement stays for every closure.
         accepted = self._consistency_check(cand_groups)
 
         # geometric verification on every consistent candidate until one
