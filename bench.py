@@ -234,7 +234,10 @@ def main():
             print(f"  loop pass {p}: median {lmed*1000:.1f} ms "
                   f"(max spike {lsteady.max()*1000:.0f} ms), "
                   f"ATE {lrmse*1000:.2f} mm, loops={ln}", file=sys.stderr)
-            if lbest is None or (ln > 0 and lrmse < lbest[1]):
+            # prefer passes that actually closed loops, then lower ATE
+            # (a tuple compare; a zero-closure pass must never shadow one
+            # that demonstrated closure)
+            if lbest is None or (ln > 0, -lrmse) > (lbest[2] > 0, -lbest[1]):
                 lbest = (lmed, lrmse, ln, float(lsteady.max()))
         lmed, loop_rmse, n_loops, lspike = lbest
         loop_fps = 1.0 / lmed

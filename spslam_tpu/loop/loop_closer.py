@@ -336,24 +336,34 @@ class LoopCloser:
 
     # -----------------------------------------------------------------
     def _optimize_graph(self, kf: int, cand: int):
-        """Essential graph: sequential + covisibility + loop edges."""
+        """Essential graph: sequential + covisibility + loop edges.
+
+        The host assembly snapshots under the store lock (capacity growth
+        swaps the store's arrays, so sizes read without the lock can change
+        mid-assembly); the device solve runs OUTSIDE the lock and results
+        write back by stable keyframe ids."""
         st = self.store
-        K = st.cfg.max_keyframes
-        valid_ids = np.nonzero(st.kf_valid[: st.n_kf])[0]
+        with st.lock:
+            K = st.cfg.max_keyframes
+            n_kf = st.n_kf
+            kf_pose = st.kf_pose[:K].copy()
+            kf_valid = st.kf_valid[:K].copy()
+            kf_parent = st.kf_parent[:K].copy()
+        valid_ids = np.nonzero(kf_valid[:n_kf])[0]
         ei, ej, eT, ew = [], [], [], []
 
         from ..geometry import np_lie
 
         def rel(i, j):
-            return np_lie.se3_compose(st.kf_pose[i], np_lie.se3_inverse(st.kf_pose[j]))
+            return np_lie.se3_compose(kf_pose[i], np_lie.se3_inverse(kf_pose[j]))
 
         # spanning-tree edges (parent -> child; the reference's essential
         # graph includes every KeyFrame::GetParent edge), with a sequential
         # fallback for keyframes whose parent was culled away
         prev = {int(a): int(b) for a, b in zip(valid_ids[1:], valid_ids[:-1])}
         for k in valid_ids[1:]:
-            p = int(st.kf_parent[k])
-            if p < 0 or not st.kf_valid[p]:
+            p = int(kf_parent[k])
+            if p < 0 or not kf_valid[p]:
                 p = prev[int(k)]
             ei.append(p); ej.append(int(k)); eT.append(rel(p, int(k))); ew.append(1.0)
         # strong covisibility edges
@@ -367,7 +377,7 @@ class LoopCloser:
                 ei.append(int(k)); ej.append(int(c)); eT.append(rel(int(k), int(c))); ew.append(1.0)
         # loop edges: measured relative transform
         for (i, j, T_ij) in self.loop_edges:
-            if st.kf_valid[i] and st.kf_valid[j]:
+            if kf_valid[i] and kf_valid[j]:
                 ei.append(int(i)); ej.append(int(j)); eT.append(T_ij)
                 ew.append(self.cfg.loop_edge_weight)
 
@@ -389,9 +399,9 @@ class LoopCloser:
         fixed = np.zeros(K, bool)
         fixed[valid_ids[0]] = True
         prob = PoseGraphProblem(
-            poses=jnp.asarray(st.kf_pose),
-            fixed=jnp.asarray(fixed | ~st.kf_valid),
-            valid=jnp.asarray(st.kf_valid),
+            poses=jnp.asarray(kf_pose),
+            fixed=jnp.asarray(fixed | ~kf_valid),
+            valid=jnp.asarray(kf_valid),
             edge_i=jnp.asarray(ei_p),
             edge_j=jnp.asarray(ej_p),
             edge_T=jnp.asarray(eT_p),
@@ -400,7 +410,9 @@ class LoopCloser:
         )
         new_poses = np.asarray(optimize_pose_graph(prob, n_iters=self.cfg.pose_graph_iters))
         with st.lock:
-            st.kf_pose[st.kf_valid] = new_poses[st.kf_valid]
+            # write back by STABLE ids (the store's arrays may have grown
+            # while the device solved; indices never move)
+            st.kf_pose[valid_ids] = new_poses[valid_ids]
             st.version += 1
 
     def _correct_points(self, old_poses: np.ndarray):
@@ -411,7 +423,19 @@ class LoopCloser:
         one jitted call (`_retransform`) — per-closure counts vary, and
         unpadded eager ops would compile fresh programs on every closure."""
         st = self.store
-        pts = np.nonzero(st.pt_valid)[0]
+        # snapshot under the lock (capacity growth swaps arrays; a read mix
+        # of old/new array objects can desync sizes), compute outside, write
+        # back by stable ids
+        with st.lock:
+            pt_valid = st.pt_valid.copy()
+            pt_ref_kf = st.pt_ref_kf.copy()
+            pt_pos = st.pt_pos.copy()
+            kf_valid = st.kf_valid.copy()
+            kf_pose = st.kf_pose.copy()
+            pl_valid = st.pl_valid.copy()
+            pl_ref_kf = st.pl_ref_kf.copy()
+            pl_coef = st.pl_coef.copy()
+        pts = np.nonzero(pt_valid)[0]
         if len(pts) == 0:
             return
         n = len(pts)
@@ -420,28 +444,35 @@ class LoopCloser:
             cap *= 2
         sel = np.zeros(cap, np.int64)
         sel[:n] = pts
-        refs = st.pt_ref_kf[sel]
-        refs = np.where((refs >= 0) & st.kf_valid[np.maximum(refs, 0)], refs, 0)
+        refs = pt_ref_kf[sel]
+        nk = len(old_poses)
+        refs = np.where(
+            (refs >= 0) & (refs < nk) & kf_valid[np.clip(refs, 0, nk - 1)], refs, 0
+        )
         Xw = np.asarray(_retransform(
-            jnp.asarray(old_poses[refs]), jnp.asarray(st.kf_pose[refs]),
-            jnp.asarray(st.pt_pos[sel]),
+            jnp.asarray(old_poses[refs]), jnp.asarray(kf_pose[refs]),
+            jnp.asarray(pt_pos[sel]),
         ))
         with st.lock:
             st.pt_pos[pts] = Xw[:n]
         # planes likewise through their reference keyframes (padded to the
-        # fixed plane capacity — one compiled shape for the whole run)
-        pls = np.nonzero(st.pl_valid)[0]
+        # plane capacity — few compiled shapes over a run)
+        pls = np.nonzero(pl_valid)[0]
         if len(pls):
             from ..geometry.plane import transform_plane
 
-            L = st.cfg.max_planes
+            L = len(pl_coef)
             psel = np.zeros(L, np.int64)
             psel[: len(pls)] = pls
-            prefs = st.pl_ref_kf[psel]
-            prefs = np.where((prefs >= 0) & st.kf_valid[np.maximum(prefs, 0)], prefs, 0)
+            prefs = pl_ref_kf[psel]
+            prefs = np.where(
+                (prefs >= 0) & (prefs < nk) & kf_valid[np.clip(prefs, 0, nk - 1)],
+                prefs, 0,
+            )
             T_old = jnp.asarray(old_poses[prefs])
-            T_new = jnp.asarray(st.kf_pose[prefs])
-            pi_c = transform_plane(T_old, jnp.asarray(st.pl_coef[psel]))
+            T_new = jnp.asarray(kf_pose[prefs])
+            pi_c = transform_plane(T_old, jnp.asarray(pl_coef[psel]))
             pi_w = np.asarray(transform_plane(se3_inverse(T_new), pi_c))
-            st.pl_coef[pls] = pi_w[: len(pls)]
+            with st.lock:
+                st.pl_coef[pls] = pi_w[: len(pls)]
         st.version += 1

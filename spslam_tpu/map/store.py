@@ -38,9 +38,13 @@ class MapConfig:
 
 class MapStore:
     def __init__(self, cfg: MapConfig):
+        import dataclasses
         import threading
 
-        self.cfg = cfg
+        # own a private copy: capacity growth mutates cfg in place, and a
+        # MapConfig shared between two stores would otherwise desync the
+        # second store's capacity invariant from its actual array sizes
+        self.cfg = dataclasses.replace(cfg)
         # guards short host-side mutation sections in async-pipeline mode
         # (the reference's Map::mMutexMapUpdate, massively narrowed)
         self.lock = threading.RLock()

@@ -302,7 +302,6 @@ def dist_global_bundle_adjust(
     intr: Intrinsics,
     n_shards: int | None = None,
     n_iters: int = 12,
-    settle_iters: int = 4,
 ) -> bool:
     """Global BA with keyframes + map blocks sharded over the device mesh.
 
@@ -314,7 +313,9 @@ def dist_global_bundle_adjust(
     results scatter back into the MapStore.
 
     Points-only (the reference's GBA is too: plane terms enter through the
-    pose-graph and local BA); planes keep their PGO-corrected values.
+    pose-graph and local BA); planes keep their PGO-corrected values.  No
+    alternating-settle stage: the sharded LM's damping handles the raw
+    post-PGO geometry directly.
 
     Returns True if the sharded solve ran and wrote back, False when the map
     is too small to shard (callers fall back to the dense path).

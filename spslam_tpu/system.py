@@ -211,8 +211,8 @@ class System:
                     "kf_angle kf_desc kf_depth kf_ur kf_kp_valid kf_obs "
                     "pt_pos pt_valid pt_desc pt_normal pt_min_dist pt_max_dist "
                     "pt_ref_kf pt_first_kf pt_obs_kf pt_obs_slot pt_n_obs "
-                    "pt_visible pt_found pl_coef pl_valid pl_obs_kf pl_obs_count "
-                    "pl_ref_kf pl_n_pts"
+                    "pt_visible pt_found pl_coef pl_valid pl_obs_kf pl_obs_pi "
+                    "pl_obs_w pl_obs_count pl_ref_kf pl_n_pts"
                 ).split()
             },
             n_kf=st.n_kf,

@@ -651,9 +651,12 @@ class Tracker:
         inl = mp >= (1 << 20)
         mids = np.asarray(p["ids"])
         seen = mids[matched]
-        self.store.pt_visible[seen[seen >= 0]] += 1
         found = mids[inl]
-        self.store.pt_found[found[found >= 0]] += 1
+        # under the lock: capacity growth swaps the stat arrays, and an
+        # unlocked in-place add could land on the orphaned pre-growth array
+        with self.store.lock:
+            self.store.pt_visible[seen[seen >= 0]] += 1
+            self.store.pt_found[found[found >= 0]] += 1
 
         need_kf = self._need_new_kf(n2, n_close_tracked, close_avail,
                                     n2_prev=n2_prev)
@@ -880,13 +883,14 @@ class Tracker:
         n2_prev = self.last_inliers
         self.last_inliers = n2
 
-        # update found/visible stats
+        # update found/visible stats (locked: growth swaps the arrays)
         inl = np.asarray(opt2.inliers)
         mids = np.asarray(ids)
         seen = mids[np.asarray(matched)]
-        self.store.pt_visible[seen[seen >= 0]] += 1
         found = mids[inl]
-        self.store.pt_found[found[found >= 0]] += 1
+        with self.store.lock:
+            self.store.pt_visible[seen[seen >= 0]] += 1
+            self.store.pt_found[found[found >= 0]] += 1
 
         # --- step 3: keyframe decision ------------------------------------
         frame_np = self._frame_to_np(frame)

@@ -89,3 +89,52 @@ class TestCapacityGrowth:
         assert sys_b.store.cfg.max_keyframes == st.cfg.max_keyframes
         np.testing.assert_array_equal(sys_b.store.kf_pose, st.kf_pose)
         np.testing.assert_array_equal(sys_b.store.pt_pos, st.pt_pos)
+
+    def test_grown_planes_save_load_then_observe(self, tmp_path):
+        """Regression: pl_obs_pi/pl_obs_w were missing from save_map, so a
+        loaded map adopted grown plane capacity for pl_coef but kept small
+        observation arrays — the first observation of a plane id beyond the
+        constructor cap crashed with IndexError."""
+        from spslam_tpu.geometry.camera import Intrinsics
+        from spslam_tpu.system import System, SystemConfig
+
+        intr = Intrinsics(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0,
+                          width=640, height=480)
+        cfg = SystemConfig(intr=intr)
+        cfg.map = MapConfig(max_keyframes=4, max_points=64, max_planes=2, n_kp=8)
+        sys_a = System(cfg)
+        st = sys_a.store
+        st.add_keyframe(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), 0.0,
+                        _frame(8), 0)
+        for i in range(5):  # grows past max_planes=2
+            st.add_plane(np.array([0, 0, 1, 1.0 + i], np.float32), 0, 100)
+        path = str(tmp_path / "planes.npz")
+        sys_a.save_map(path)
+
+        cfg_b = SystemConfig(intr=intr)
+        cfg_b.map = MapConfig(max_keyframes=4, max_points=64, max_planes=2, n_kp=8)
+        sys_b = System(cfg_b)
+        sys_b.load_map(path)
+        stb = sys_b.store
+        assert stb.pl_obs_pi.shape[0] == stb.cfg.max_planes
+        assert stb.pl_obs_w.shape[0] == stb.cfg.max_planes
+        # observing a plane beyond the constructor cap must not crash
+        stb.add_plane_observation(4, 0, pi_cam=np.array([0, 0, 1, 5.0], np.float32),
+                                  weight=1.0)
+        assert stb.pl_obs_count[4] == 1
+
+    def test_shared_mapconfig_not_mutated(self):
+        """Regression: capacity growth mutated the caller's MapConfig, so a
+        config shared between two stores desynced the second store."""
+        shared = MapConfig(max_keyframes=2, max_points=16, n_kp=8)
+        a = MapStore(shared)
+        b = MapStore(shared)
+        f = _frame(8)
+        for k in range(4):  # grows store a past the shared cap
+            a.add_keyframe(np.array([1, 0, 0, 0, 0, 0, 0], np.float32),
+                           float(k), f, k)
+        assert shared.max_keyframes == 2, "caller's config must stay untouched"
+        for k in range(4):  # store b must grow independently, not crash
+            b.add_keyframe(np.array([1, 0, 0, 0, 0, 0, 0], np.float32),
+                           float(k), f, k)
+        assert b.kf_valid[:4].all()

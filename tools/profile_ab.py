@@ -42,8 +42,8 @@ def main():
     d = np.clip(depth * 5000.0, 0, 65535).astype(np.uint16)
     d8 = d[None].view(np.uint8).reshape(depth.shape[0], depth.shape[1], 2)
     frame_u8 = jnp.asarray(np.stack([g, d8[..., 0], d8[..., 1]]))
-    gray_j = jnp.asarray(gray.astype(np.float32))
-    depth_j = jnp.asarray(depth.astype(np.float32))
+    gray_j = jnp.asarray(np.clip(gray, 0, 255).astype(np.uint8))
+    depth_j = jnp.asarray(np.clip(depth * 5000.0, 0, 65535).astype(np.uint16))
     PL = cfg.local_points_cap
     pt_pack = jnp.asarray(np.random.RandomState(0).randn(PL, 9).astype(np.float32))
     pt_desc = jnp.asarray(

@@ -105,8 +105,8 @@ def main():
     pack = jnp.asarray(pack_np)
     desc = jnp.asarray(rng.integers(0, 2**32, size=(P, 8), dtype=np.uint64).astype(np.uint32))
     T0 = jnp.asarray(np.array([1, 0, 0, 0, 0, 0, 0], np.float32))
-    gray_j = jnp.asarray(gray.astype(np.float32))
-    depth_j = jnp.asarray(depth.astype(np.float32))
+    gray_j = jnp.asarray(np.clip(gray, 0, 255).astype(np.uint8))
+    depth_j = jnp.asarray(np.clip(depth * 5000.0, 0, 65535).astype(np.uint16))
 
     def fused():
         out = track_frame_step(

@@ -42,14 +42,10 @@ def main():
     cfg = TrackerConfig()
     spec = PyramidSpec(n_levels=8, scale_factor=1.2, height=intr.height, width=intr.width)
 
-    def pack_frame(gray, depth):
-        g = np.clip(gray, 0, 255).astype(np.uint8)
-        d = np.clip(depth * 5000.0, 0, 65535).astype(np.uint16)
-        d8 = d[None].view(np.uint8).reshape(depth.shape[0], depth.shape[1], 2)
-        return np.stack([g, d8[..., 0], d8[..., 1]])
-
-    frames_np = [g.astype(np.float32) for g, d in seq.frames]
-    depths_np = [d.astype(np.float32) for g, d in seq.frames]
+    # mirror Tracker._upload_frame's live dtypes: u8 gray + u16 raw depth
+    frames_np = [np.clip(g, 0, 255).astype(np.uint8) for g, d in seq.frames]
+    depths_np = [np.clip(d * 5000.0, 0, 65535).astype(np.uint16)
+                 for g, d in seq.frames]
     frame_j = jnp.asarray(frames_np[0])
     depth_j = jnp.asarray(depths_np[0])
     PL = cfg.local_points_cap
@@ -85,31 +81,34 @@ def main():
 
     # --- B: H2D upload throughput ----------------------------------------
     bufs = [frames_np[i % len(frames_np)].copy() for i in range(n)]
+    dbufs = [depths_np[i % len(depths_np)].copy() for i in range(n)]
     t0 = time.perf_counter()
-    devs = [jnp.asarray(b) for b in bufs]
+    devs = [(jnp.asarray(b), jnp.asarray(db)) for b, db in zip(bufs, dbufs)]
     jax.block_until_ready(devs)
     up_ms = (time.perf_counter() - t0) / n * 1000
     print(f"B. H2D upload throughput       {up_ms:8.2f} ms/frame "
-          f"({frames_np[0].nbytes/1024:.0f} KB/frame)")
+          f"({(frames_np[0].nbytes + depths_np[0].nbytes)/1024:.0f} KB/frame)")
 
     # --- B2: upload + dispatch interleaved (no D2H) ----------------------
     t0 = time.perf_counter()
     Tp, Tp2 = T0, T0
     for i in range(n):
         fb = jnp.asarray(bufs[i])
-        frame, out, _big = step(fb, depth_j, Tp, Tp2)
+        db = jnp.asarray(dbufs[i])
+        frame, out, _big = step(fb, db, Tp, Tp2)
         Tp2, Tp = Tp, jax.lax.bitcast_convert_type(out[0:7], jnp.float32)
     jax.block_until_ready(out)
     b2_ms = (time.perf_counter() - t0) / n * 1000
     print(f"B2. upload+dispatch (no D2H)   {b2_ms:8.2f} ms/frame")
 
-    # --- C: + async D2H of all 4 outputs, drained 2 behind ---------------
+    # --- C: + async D2H of the per-frame small output, drained 2 behind --
     t0 = time.perf_counter()
     Tp, Tp2 = T0, T0
     pend = []
     for i in range(n):
         fb = jnp.asarray(bufs[i])
-        frame, out, _big = step(fb, depth_j, Tp, Tp2)
+        db = jnp.asarray(dbufs[i])
+        frame, out, _big = step(fb, db, Tp, Tp2)
         Tp2, Tp = Tp, jax.lax.bitcast_convert_type(out[0:7], jnp.float32)
         out.copy_to_host_async()
         pend.append(out)
