@@ -41,12 +41,22 @@ class FrameData(NamedTuple):
     has_depth: jnp.ndarray # [N] bool valid AND depth > 0
 
 
-def _sample_depth(depth_img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+def _sample_depth(depth_img: jnp.ndarray, uv: jnp.ndarray,
+                  full_hw: tuple) -> jnp.ndarray:
     """Nearest-neighbor depth lookup at keypoint coords (the reference reads
-    imDepth.at<float>(v, u) at the rounded raw keypoint)."""
+    imDepth.at<float>(v, u) at the rounded raw keypoint).
+
+    The depth image may arrive SUBSAMPLED relative to the gray image
+    (full_hw): the 900 KB/frame H2D upload rides a ~47 MB/s tunnel wire
+    (tools/profile_pipeline.py stage B), so the tracker uploads depth at
+    stride 2 (600 -> 150 KB) and the lookup lands on the nearest retained
+    sample (<=1 px off at full res — under the depth sensor's own noise
+    except exactly on discontinuity edges)."""
     H, W = depth_img.shape
-    x = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, W - 1)
-    y = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, H - 1)
+    sx = W / full_hw[1]
+    sy = H / full_hw[0]
+    x = jnp.clip(jnp.round(uv[..., 0] * sx).astype(jnp.int32), 0, W - 1)
+    y = jnp.clip(jnp.round(uv[..., 1] * sy).astype(jnp.int32), 0, H - 1)
     return depth_img[y, x]
 
 
@@ -70,7 +80,7 @@ def build_frame(
     uv = undistort_points(intr, uv_raw)
     valid = det["valid"] & in_image(intr, uv)
 
-    d = _sample_depth(depth_img, uv_raw)
+    d = _sample_depth(depth_img, uv_raw, (gray.shape[0], gray.shape[1]))
     has_depth = valid & (d > 1e-6)
     d = jnp.where(has_depth, d, 0.0)
     xyz = unproject(intr, uv, d)

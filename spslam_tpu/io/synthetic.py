@@ -62,8 +62,29 @@ def _noise_texture(rng, th=256, tw=256, base=120.0, contrast=90.0, cell=16):
     return np.clip(tex, 5, 250).astype(np.float32)
 
 
-def make_room(seed: int = 0, size: float = 6.0, height: float = 3.0) -> List[TexturedRect]:
-    """A closed box room + two interior boxes, all textured."""
+def _low_texture(rng, th=256, tw=256, base=120.0):
+    """Near-uniform surface with a handful of faint blobs: the ICL-NUIM-style
+    blank-wall regime where FAST finds almost no corners (contrast stays
+    mostly under the low threshold) but depth planes remain perfect —
+    SP-SLAM's defining scenario (SURVEY.md §6: planes help most on low
+    texture)."""
+    tex = np.full((th, tw), base, np.float32)
+    tex += rng.normal(0, 1.5, (th, tw)).astype(np.float32)  # sensor-ish grain
+    for _ in range(int(rng.integers(2, 4))):
+        cy, cx = rng.integers(30, th - 30), rng.integers(30, tw - 30)
+        r = int(rng.integers(10, 22))
+        yy, xx = np.ogrid[:th, :tw]
+        mask = (yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2
+        tex[mask] += rng.choice([-18.0, 18.0])
+    return np.clip(tex, 5, 250).astype(np.float32)
+
+
+def make_room(seed: int = 0, size: float = 6.0, height: float = 3.0,
+              low_texture: bool = False) -> List[TexturedRect]:
+    """A closed box room + two interior boxes, all textured.
+
+    low_texture=True renders near-blank walls (see _low_texture) — the
+    plane-dominant workload of BASELINE config #3."""
     rng = np.random.default_rng(seed)
     s, h = size, height
     rects = []
@@ -74,7 +95,8 @@ def make_room(seed: int = 0, size: float = 6.0, height: float = 3.0) -> List[Tex
                 origin=np.array(o, np.float64),
                 eu=np.array(eu, np.float64),
                 ev=np.array(ev, np.float64),
-                texture=_noise_texture(rng),
+                texture=(_low_texture(rng) if low_texture
+                         else _noise_texture(rng)),
             )
         )
 
@@ -236,9 +258,10 @@ def make_sequence(
     seed: int = 0,
     depth_noise: float = 0.0,
     trajectory: str = "orbit",
+    low_texture: bool = False,
 ) -> SyntheticSequence:
     intr = intr or Intrinsics(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0, width=640, height=480)
-    rects = make_room(seed=seed)
+    rects = make_room(seed=seed, low_texture=low_texture)
     if trajectory == "loop":
         poses = loop_trajectory(n_frames, seed=seed + 1)
     else:

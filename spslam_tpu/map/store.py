@@ -309,16 +309,19 @@ class MapStore:
         self.topo_version += 1
 
     def remove_observation(self, p: int, kf: int):
-        mask = self.pt_obs_kf[p] == kf
-        idx = np.nonzero(mask)[0]
-        for i in idx:
-            slot = self.pt_obs_slot[p, i]
-            if slot >= 0 and self.kf_obs[kf, slot] == p:
-                self.kf_obs[kf, slot] = -1
-        keep = ~mask
-        n = keep.sum() - (self.pt_obs_kf[p] < 0).sum()
-        kfs = self.pt_obs_kf[p][keep & (self.pt_obs_kf[p] >= 0)]
-        slots = self.pt_obs_slot[p][keep & (self.pt_obs_kf[p] >= 0)]
+        """Detach point p from keyframe kf and compact its observation list
+        (the reference's MapPoint::EraseObservation); fully vectorized —
+        KF culling calls this for every slot of the culled keyframe."""
+        obs_kf = self.pt_obs_kf[p]
+        mask = obs_kf == kf
+        if mask.any():
+            slots = self.pt_obs_slot[p][mask]
+            slots = slots[slots >= 0]
+            hit = slots[self.kf_obs[kf, slots] == p]
+            self.kf_obs[kf, hit] = -1
+        keep = ~mask & (obs_kf >= 0)
+        kfs = obs_kf[keep]
+        slots = self.pt_obs_slot[p][keep]
         self.pt_obs_kf[p] = -1
         self.pt_obs_slot[p] = -1
         self.pt_obs_kf[p, : len(kfs)] = kfs
@@ -346,22 +349,28 @@ class MapStore:
         MapPoint::Replace)."""
         if old == new:
             return
-        for i in range(self.pt_n_obs[old]):
-            kf, slot = self.pt_obs_kf[old, i], self.pt_obs_slot[old, i]
-            if kf < 0:
-                continue
-            if (self.pt_obs_kf[new][: self.pt_n_obs[new]] == kf).any():
-                # new already observed in this KF: just clear the slot
-                if self.kf_obs[kf, slot] == old:
-                    self.kf_obs[kf, slot] = -1
-            else:
-                if self.kf_obs[kf, slot] == old:
-                    self.kf_obs[kf, slot] = new
-                    c = self.pt_n_obs[new]
-                    if c < self.cfg.max_obs_per_point:
-                        self.pt_obs_kf[new, c] = kf
-                        self.pt_obs_slot[new, c] = slot
-                        self.pt_n_obs[new] = c + 1
+        kfs = self.pt_obs_kf[old, : self.pt_n_obs[old]]
+        slots = self.pt_obs_slot[old, : self.pt_n_obs[old]]
+        ok = kfs >= 0
+        kfs, slots = kfs[ok], slots[ok]
+        # only slots still pointing at `old` transfer (fuse may have
+        # retargeted a slot in between)
+        owned = self.kf_obs[kfs, slots] == old
+        dup = np.isin(kfs, self.pt_obs_kf[new, : self.pt_n_obs[new]])
+        # new already observed in this KF: just clear the slot
+        clear = owned & dup
+        self.kf_obs[kfs[clear], slots[clear]] = -1
+        xfer = owned & ~dup
+        k_x, s_x = kfs[xfer], slots[xfer]
+        _, first = np.unique(k_x, return_index=True)
+        k_x, s_x = k_x[np.sort(first)], s_x[np.sort(first)]
+        self.kf_obs[k_x, s_x] = new
+        c = self.pt_n_obs[new]
+        room = max(self.cfg.max_obs_per_point - c, 0)
+        k_r, s_r = k_x[:room], s_x[:room]   # overflow keeps the forward link
+        self.pt_obs_kf[new, c : c + len(k_r)] = k_r
+        self.pt_obs_slot[new, c : c + len(k_r)] = s_r
+        self.pt_n_obs[new] = c + len(k_r)
         self.pt_found[new] += self.pt_found[old]
         self.pt_visible[new] += self.pt_visible[old]
         self.pt_obs_kf[old] = -1

@@ -39,11 +39,18 @@ class PlaneMapper:
         self.intr = intr
         self.store = store
         self.cfg = cfg
+        # raw-depth divisor when integer depth frames are fed (the tracking
+        # path uploads camera-native u16 raw units; System overrides from
+        # the dataset YAML, matching Tracker.depth_factor)
+        self.depth_factor = 5000.0
 
     def process_keyframe(self, kf: int, gray: np.ndarray, depth: np.ndarray):
         st = self.store
         cfg = self.cfg
-        res = segment_planes(jnp.asarray(depth), self.intr)
+        depth_j = jnp.asarray(depth)
+        if jnp.issubdtype(depth_j.dtype, jnp.integer):
+            depth_j = depth_j.astype(jnp.float32) / self.depth_factor
+        res = segment_planes(depth_j, self.intr)
         valid = np.asarray(res.valid)
         coefs_c = np.asarray(res.coef)
         inliers = np.asarray(res.n_inliers)

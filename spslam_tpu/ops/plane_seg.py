@@ -120,12 +120,22 @@ def segment_planes(
     angle_cos_th: float = 0.95,
     dist_th: float = 0.05,
     min_blocks: int = 30,
+    depth_sigma_frac: float = 0.008,
 ) -> FramePlanes:
     """Segment dominant planes from a depth image.
 
     Thresholds mirror the PEAC defaults in spirit: per-block planarity by
     curvature + MSE, merge gating by normal angle (cos > angle_cos_th) and
     mutual centroid-to-plane distance < dist_th.
+
+    depth_sigma_frac models the depth sensor's fractional noise (Kinect-
+    class ~0.5-1% of z): a block whose PCA residual is explainable by that
+    noise level still seeds a plane even when the relative-curvature gate
+    (tuned for clean depth) fails — without this, 0.6% depth noise at 3 m
+    exceeds an 8x8 block's entire in-plane spread and segmentation finds
+    NOTHING on a perfectly planar scene (PEAC gates its MSE against a
+    sensor-noise model for exactly this reason).  The per-segment refit
+    then averages the noise over thousands of pixels.
     """
     H, W = depth.shape
     ys = jnp.arange(H, dtype=jnp.float32)[:, None]
@@ -139,12 +149,12 @@ def segment_planes(
     cnt, mean, cov = _block_moments(xyz, valid, block)
     normal, d, curvature, mse, disc = _plane_from_cov(mean, cov)
     BH, BW = cnt.shape
-    planar = (
-        (cnt >= 0.8 * block * block)
-        & (curvature < curvature_th)
-        & (mse < mse_th * jnp.maximum(mean[..., 2], 1.0) ** 2)
-        & disc
+    sigma = depth_sigma_frac * jnp.maximum(mean[..., 2], 1.0)
+    clean_ok = (curvature < curvature_th) & (
+        mse < mse_th * jnp.maximum(mean[..., 2], 1.0) ** 2
     )
+    noise_ok = mse < (1.5 * sigma) ** 2
+    planar = (cnt >= 0.8 * block * block) & (clean_ok | noise_ok) & disc
 
     # --- merge gates between 4-neighbors ---------------------------------
     def edge_ok(na, da, ca, nb, db, cb, pa, pb):

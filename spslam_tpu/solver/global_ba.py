@@ -223,7 +223,8 @@ def global_bundle_adjust(
     stage1_iters: int = 4,
     stage2_iters: int = 8,
     distributed: bool | None = None,
-) -> bool:
+    write_back: bool = True,
+):
     """Run global BA over the whole map and write results back.
 
     Two phases, mirroring the reference's post-CorrectLoop pipeline:
@@ -238,18 +239,26 @@ def global_bundle_adjust(
     solver; False never uses it (big maps then settle longer, the bounded-
     memory fallback).
 
-    Returns True if a Newton-type stage (dense or distributed) ran.
+    `write_back=True` (default): write results into the store; returns True
+    if a Newton-type stage (dense or distributed) ran.
+    `write_back=False` (the async GBA thread, loop/loop_closer.py): return
+    a result dict {kf_ids, poses, pt_ids, points, pl_ids, planes, newton,
+    wrote} for the caller to merge — the map may have GROWN while the solve
+    ran, and the caller owns propagating the correction to keyframes/points
+    created meanwhile (the reference's RunGlobalBundleAdjustment merge).
+    Returns None when the map is too small.  The distributed path cannot
+    defer its scatter; it writes inline and reports wrote=True.
     """
     st = store
     if distributed is True:
         if dist_global_bundle_adjust(st, intr, n_iters=stage1_iters + stage2_iters):
-            return True
+            return True if write_back else dict(wrote=True, newton=True)
         # map too small to shard: fall through to the dense path
 
     with st.lock:
         out = assemble_global_problem(st, intr)
     if out is None:
-        return False
+        return False if write_back else None
     prob, kf_ids, pt_ids, pl_ids = out
 
     M, P = prob.poses.shape[0], prob.points.shape[0]
@@ -258,7 +267,7 @@ def global_bundle_adjust(
         # auto mode: the dense Schur tensor would not fit — shard the map
         # over the local mesh instead of degrading to settle-only
         if dist_global_bundle_adjust(st, intr, n_iters=stage1_iters + stage2_iters):
-            return True
+            return True if write_back else dict(wrote=True, newton=True)
 
     poses, points = prob.poses, prob.points
     if settle_iters > 0:
@@ -288,6 +297,14 @@ def global_bundle_adjust(
         new_poses, new_points = jax.device_get((poses, points))
         new_planes = None
 
+    if not write_back:
+        return dict(
+            wrote=False, newton=newton,
+            kf_ids=kf_ids, poses=new_poses[: len(kf_ids)],
+            pt_ids=pt_ids, points=new_points[: len(pt_ids)],
+            pl_ids=pl_ids,
+            planes=new_planes[: len(pl_ids)] if new_planes is not None else None,
+        )
     with st.lock:
         st.kf_pose[kf_ids] = new_poses[: len(kf_ids)]
         st.pt_pos[pt_ids] = new_points[: len(pt_ids)]

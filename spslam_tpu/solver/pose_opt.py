@@ -79,6 +79,157 @@ def _residuals_and_jac(T_cw, pts_w, uv_obs, ur_obs, intr: Intrinsics):
     return e * row_mask, J * row_mask[..., None], z
 
 
+def _plane_residuals_and_jac(T_cw, pl_w, pl_obs_c, pl_w_valid):
+    """Plane-to-plane residuals [L,4] and Jacobians [L,4,6] wrt a left-
+    multiplicative se3 perturbation (SP-SLAM's tracking plane edges,
+    src/Tracking.cc plane association + Optimizer.cc plane-pose edges —
+    SURVEY.md §3.1 [SP]).
+
+    pl_w: [L,4] map planes (n,d) in WORLD, n.X + d = 0, |n| = 1.
+    pl_obs_c: [L,4] matched observed frame planes in CAMERA frame.
+    Prediction: n_c = R n_w, d_c = d_w - n_c . t.  For T' = exp(xi) T:
+      dn_c/dphi = -[n_c]x (dn/drho = 0);  dd_c/drho = -n_c (dd/dphi = 0 —
+    the two rotational terms cancel exactly).
+    Observed normals are sign-aligned to the prediction before differencing.
+    """
+    q = se3_q(T_cw)
+    t = se3_t(T_cw)
+    n_c = quat_rotate(q[None, :], pl_w[:, :3])          # [L,3]
+    d_c = pl_w[:, 3] - jnp.sum(n_c * t[None, :], axis=-1)
+    # sign-align the observation (a plane's (n,d) and (-n,-d) are identical)
+    flip = jnp.sum(n_c * pl_obs_c[:, :3], axis=-1) < 0
+    obs = jnp.where(flip[:, None], -pl_obs_c, pl_obs_c)
+    e_n = obs[:, :3] - n_c                              # [L,3]
+    e_d = obs[:, 3] - d_c                               # [L]
+    e = jnp.concatenate([e_n, e_d[:, None]], axis=-1)   # [L,4]
+
+    L = pl_w.shape[0]
+    zeros3 = jnp.zeros((L, 3, 3), e.dtype)
+    nx, ny, nz = n_c[:, 0], n_c[:, 1], n_c[:, 2]
+    z0 = jnp.zeros_like(nx)
+    skew = jnp.stack([
+        jnp.stack([z0, -nz, ny], -1),
+        jnp.stack([nz, z0, -nx], -1),
+        jnp.stack([-ny, nx, z0], -1),
+    ], axis=-2)                                          # [L,3,3] [n_c]x
+    # e = obs - pred  =>  J = -d(pred)/dxi
+    J_n = jnp.concatenate([zeros3, skew], axis=-1)       # [L,3,6]
+    J_d = jnp.concatenate([n_c, jnp.zeros((L, 3), e.dtype)], axis=-1)[:, None, :]
+    J = jnp.concatenate([J_n, J_d], axis=-2)             # [L,4,6]
+    m = pl_w_valid.astype(e.dtype)
+    return e * m[:, None], J * m[:, None, None]
+
+
+# chi2 gate for the 4-dof plane residual at the working information weights
+CHI2_PLANE = 9.49  # 95% of chi2(4)
+
+
+@partial(jax.jit, static_argnames=("intr", "n_rounds", "n_iters"))
+def pose_optimization_joint(
+    T_cw_init: jnp.ndarray,
+    pts_w: jnp.ndarray,
+    uv_obs: jnp.ndarray,
+    ur_obs: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    valid: jnp.ndarray,
+    pl_w: jnp.ndarray,
+    pl_obs_c: jnp.ndarray,
+    pl_valid: jnp.ndarray,
+    pl_info: jnp.ndarray,
+    intr: Intrinsics,
+    n_rounds: int = 2,
+    n_iters: int = 5,
+) -> PoseOptResult:
+    """Joint point + plane motion-only LM (the SP-SLAM tracking refinement).
+
+    Same structure as pose_optimization with plane-to-plane terms added to
+    H/b each iteration; plane outliers are re-classified between rounds by
+    their chi2 like point edges.
+
+    pl_w [L,4] world planes, pl_obs_c [L,4] matched camera-frame
+    observations, pl_valid [L] bool, pl_info [L] information weight applied
+    to all 4 residual rows (normal rows are unitless, d is meters — callers
+    scale via PLANE_*_INFO below).
+    """
+    delta2 = jnp.where(ur_obs >= 0, CHI2_3D, CHI2_2D)
+
+    def plane_chi2(T):
+        e_p, _ = _plane_residuals_and_jac(T, pl_w, pl_obs_c, pl_valid)
+        return jnp.sum(e_p * e_p, axis=-1) * pl_info
+
+    def lm_round(T, inliers, pl_inliers):
+        def cond(carry):
+            _, _, it, step2 = carry
+            return (it < n_iters) & (step2 > 1e-10)
+
+        def body(carry):
+            T, lam, it, _ = carry
+            e, J, _ = _residuals_and_jac(T, pts_w, uv_obs, ur_obs, intr)
+            chi2 = jnp.sum(e * e, axis=-1) * inv_sigma2
+            w_rob = huber_weight(chi2, delta2)
+            w = inv_sigma2 * w_rob * inliers * valid.astype(e.dtype)
+            Jw = J * w[:, None, None]
+            H = jnp.einsum("nri,nrj->ij", Jw, J)
+            b = -jnp.einsum("nri,nr->i", Jw, e)
+            e_p, J_p = _plane_residuals_and_jac(T, pl_w, pl_obs_c, pl_valid)
+            chi2_p = jnp.sum(e_p * e_p, axis=-1) * pl_info
+            w_p = (
+                pl_info * huber_weight(chi2_p, CHI2_PLANE)
+                * pl_inliers * pl_valid.astype(e.dtype)
+            )
+            Jpw = J_p * w_p[:, None, None]
+            H = H + jnp.einsum("nri,nrj->ij", Jpw, J_p)
+            b = b - jnp.einsum("nri,nr->i", Jpw, e_p)
+            H = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
+            dx = solve6(H, b)
+            T_new = se3_retract(T, dx)
+            cost_cur = (
+                jnp.sum(jnp.minimum(chi2, delta2 * 10) * inliers * valid)
+                + jnp.sum(jnp.minimum(chi2_p, CHI2_PLANE * 10) * pl_inliers)
+            )
+            e2, _, _ = _residuals_and_jac(T_new, pts_w, uv_obs, ur_obs, intr)
+            e2_p, _ = _plane_residuals_and_jac(T_new, pl_w, pl_obs_c, pl_valid)
+            cost_new = (
+                jnp.sum(jnp.minimum(jnp.sum(e2 * e2, -1) * inv_sigma2, delta2 * 10)
+                        * inliers * valid)
+                + jnp.sum(jnp.minimum(jnp.sum(e2_p * e2_p, -1) * pl_info,
+                                      CHI2_PLANE * 10) * pl_inliers)
+            )
+            better = cost_new < cost_cur
+            T = jnp.where(better, T_new, T)
+            lam = jnp.where(better, lam * 0.5, lam * 4.0)
+            step2 = jnp.where(better, jnp.sum(dx * dx), jnp.float32(1e9))
+            return T, lam, it + 1, step2
+
+        T, _, _, _ = jax.lax.while_loop(
+            cond, body, (T, jnp.float32(1e-3), jnp.int32(0), jnp.float32(1e9))
+        )
+        return T
+
+    T = T_cw_init
+    inliers = valid.astype(jnp.float32)
+    pl_inl = pl_valid.astype(jnp.float32)
+    for _ in range(n_rounds):
+        T = lm_round(T, inliers, pl_inl)
+        e, _, _ = _residuals_and_jac(T, pts_w, uv_obs, ur_obs, intr)
+        chi2 = jnp.sum(e * e, axis=-1) * inv_sigma2
+        inliers = (chi2 <= delta2).astype(jnp.float32) * valid.astype(jnp.float32)
+        pl_inl = (
+            (plane_chi2(T) <= CHI2_PLANE).astype(jnp.float32)
+            * pl_valid.astype(jnp.float32)
+        )
+
+    final_inl = inliers > 0
+    e, _, _ = _residuals_and_jac(T, pts_w, uv_obs, ur_obs, intr)
+    chi2 = jnp.sum(e * e, axis=-1) * inv_sigma2
+    return PoseOptResult(
+        T_cw=T,
+        inliers=final_inl,
+        n_inliers=jnp.sum(final_inl.astype(jnp.int32)),
+        chi2=jnp.sum(jnp.where(final_inl, chi2, 0.0)),
+    )
+
+
 @partial(jax.jit, static_argnames=("intr", "n_rounds", "n_iters"))
 def pose_optimization(
     T_cw_init: jnp.ndarray,

@@ -54,6 +54,12 @@ class System:
         self.store = MapStore(cfg.map)
         self.tracker = Tracker(cfg.tracker, cfg.intr, self.store)
         self.tracker.depth_factor = cfg.depth_map_factor
+        if cfg.use_planes and self.tracker.pipeline_depth > 2:
+            # plane-lane accuracy is sensitive to keyframe cadence, which
+            # deeper pipelining shifts (TrackerConfig.pipeline_depth note):
+            # cap the plane configuration at depth 2 so the DEFAULT config
+            # is safe on every lane
+            self.tracker.pipeline_depth = 2
         self.mapper = LocalMapper(cfg.mapper, cfg.intr, self.store)
         self.plane_mapper = None
         if cfg.use_planes:
@@ -61,6 +67,11 @@ class System:
 
             pcfg = cfg.plane_cfg or PlaneMapperConfig()
             self.plane_mapper = PlaneMapper(cfg.intr, self.store, pcfg)
+            self.plane_mapper.depth_factor = cfg.depth_map_factor
+            # tracking-level plane refinement (SP-SLAM Tracking.cc [SP]):
+            # the fused step segments frame planes and jointly optimizes
+            # the pose against the map-plane snapshot
+            self.tracker.use_planes = True
         self.loop_closer = None
         if cfg.use_loop or cfg.enable_reloc:
             import os
@@ -153,6 +164,8 @@ class System:
 
         for rec in self.tracker.flush_pipeline():  # resolve in-flight frame
             self._absorb(rec)
+        if self.loop_closer is not None:
+            self.loop_closer.wait_gba()  # land any in-flight async global BA
 
         out = []
         for (ts, ref, T_rel), (_, T_abs) in zip(self._rel_trajectory, self.trajectory):
@@ -223,6 +236,7 @@ class System:
     def load_map(self, path: str):
         data = np.load(path)
         st = self.store
+        cfg_n_kp = st.cfg.n_kp
         for k in data.files:
             if k in ("n_kf", "n_pt", "n_pl"):
                 setattr(st, k, int(data[k]))
@@ -233,6 +247,18 @@ class System:
         st.cfg.max_keyframes = st.kf_pose.shape[0]
         st.cfg.max_points = st.pt_pos.shape[0]
         st.cfg.max_planes = st.pl_coef.shape[0]
+        # the per-KF keypoint budget and obs-list width are baked into the
+        # saved array shapes too; a checkpoint saved with a different n_kp
+        # than this tracker's n_features would desync every kp-indexed path
+        st.cfg.n_kp = st.kf_uv.shape[1]
+        st.cfg.max_obs_per_point = st.pt_obs_kf.shape[1]
+        if st.cfg.n_kp != cfg_n_kp:
+            raise ValueError(
+                f"checkpoint keypoint budget ({st.cfg.n_kp}) != this "
+                f"System's configured n_kp ({cfg_n_kp}); construct the "
+                f"System with a matching MapConfig/TrackerConfig to load "
+                f"this map"
+            )
         st.version += 1
         st.topo_version += 1
         # resume tracking against the loaded map
@@ -255,3 +281,5 @@ class System:
             self._absorb(rec)
         if self.pipeline is not None:
             self.pipeline.shutdown()
+        if self.loop_closer is not None:
+            self.loop_closer.wait_gba()

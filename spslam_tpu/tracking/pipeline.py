@@ -100,6 +100,11 @@ class AsyncMappingPipeline:
                                 sys_.tracker.external_pose_correction(
                                     sys_.store.kf_pose[kf]
                                 )
+                    # producer-side snapshot refresh: the BA write-back just
+                    # bumped the store version; re-gather+upload HERE (mapper
+                    # thread) so the tracker's next dispatch hits a warm
+                    # cache instead of paying the gather on its critical path
+                    sys_.tracker.refresh_snapshot_values()
                     self.n_processed += 1
                 self.n_coalesced += max(len(items) - 1, 0)
             finally:

@@ -17,6 +17,7 @@ Differences from the reference, by design (SURVEY.md §7):
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from enum import Enum
 from functools import partial
@@ -80,12 +81,34 @@ class TrackerConfig:
     kf_queue_cap: int = 3
     # software-pipeline depth: in-flight fused dispatches before the oldest
     # resolves.  3 measured 13-18 ms/frame vs 21-22 at depth 2 on chip (the
-    # extra slot absorbs mapper device contention), but the extra resolve
-    # lag shifts keyframe timing, and the PLANE lane's accuracy is sensitive
-    # to that (long ref-KF spans amplify small keyframe pose errors from
-    # plane observations: 3.6 mm -> ~40 mm ATE measured) — so the safe
-    # default is 2 and the point-only bench lane opts into 3.
-    pipeline_depth: int = 2
+    # extra slot absorbs mapper device contention) with point-lane accuracy
+    # verified unchanged, so 3 is the default.  The extra resolve lag shifts
+    # KEYFRAME cadence, and plane-lane accuracy is sensitive to that (longer
+    # ref-KF spans mean fewer/wider plane observations: 3.6 mm -> ~40 mm ATE
+    # measured at depth 3 with planes) — System therefore downshifts to 2
+    # automatically when use_planes is on (system.py), so the default config
+    # is safe for every lane and the flagship number needs no opt-in.
+    pipeline_depth: int = 3
+    # --- tracking-level plane refinement (SP-SLAM Tracking.cc [SP]) -----
+    # When System.use_planes is on, the fused step segments frame planes
+    # from the (subsampled) depth, associates them to the local map-plane
+    # snapshot at the point-stage pose, and runs a short JOINT point+plane
+    # LM refine (solver/pose_opt.pose_optimization_joint).  This is what
+    # carries tracking through low-texture frames where points alone drift
+    # (SURVEY.md §6: planes help most on low texture).
+    plane_info: float = 1e5        # per-plane information (sigma ~3 mrad/3 mm
+                                   # — what a multi-thousand-pixel segment
+                                   # fit supports; point reproj rows carry
+                                   # fx/z ~ 100 each, so lower info is
+                                   # outvoted by even a handful of points)
+    plane_assoc_cos: float = 0.94  # association gates at the predicted pose
+    plane_assoc_dist: float = 0.2
+    plane_min_support: int = 300   # pixels at the UPLOAD resolution
+    # depth H2D subsample stride: the 600 KB u16 depth upload dominates the
+    # ~47 MB/s tunnel wire (tools/profile_pipeline.py stage B measured
+    # 19.3 ms/frame for the 900 KB pair); stride 2 cuts it to 150 KB and
+    # the keypoint depth lookup lands <=1 px off at full res.  1 = full res.
+    depth_upload_stride: int = 2
     # URGENT coverage floor: a keyframe inserts even with a deep mapping
     # queue when the inlier count PROJECTED pipeline_depth frames ahead
     # (linear extrapolation of the per-frame decay) falls below this.  On
@@ -115,6 +138,10 @@ class FrameRecord:
 DIST_SLACK_LO = 0.8
 DIST_SLACK_HI = 1.2
 OCTAVE_SLACK = 1  # +- pyramid levels around the predicted octave
+
+# fixed device capacity of the local map-PLANE snapshot (top by support;
+# compiled shapes never change even when the store's plane table grows)
+PLANE_CAP = 64
 
 
 @partial(jax.jit, static_argnames=("intr",))
@@ -220,20 +247,45 @@ def _compact_pose_opt(T_init, pt_pos, uv_obs, ur_obs, inv_s2, matched,
     return opt_c._replace(inliers=inliers_full & matched)
 
 
+def _compact_joint_opt(T_init, pt_pos, uv_obs, ur_obs, inv_s2, matched,
+                       pl_w, pl_obs, pl_valid, pl_info,
+                       n_kp: int, intr: Intrinsics, n_rounds: int, n_iters: int):
+    """pose_optimization_joint over a COMPACTED point buffer (same trick as
+    _compact_pose_opt) plus the matched plane rows."""
+    from ..solver.pose_opt import pose_optimization_joint
+
+    PL = pt_pos.shape[0]
+    sel = jnp.argsort(jnp.logical_not(matched), stable=True)[:n_kp]
+    opt_c = pose_optimization_joint(
+        T_init, pt_pos[sel], uv_obs[sel], ur_obs[sel], inv_s2[sel],
+        matched[sel], pl_w, pl_obs, pl_valid, pl_info, intr,
+        n_rounds=n_rounds, n_iters=n_iters,
+    )
+    inliers_full = jnp.zeros_like(matched).at[sel].set(opt_c.inliers)
+    return opt_c._replace(inliers=inliers_full & matched)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "radius_motion", "radius2", "th_depth",
         "spec", "intr", "n_features", "th_high", "th_low", "depth_factor",
+        "use_planes", "plane_info", "plane_assoc_cos", "plane_assoc_dist",
+        "plane_min_support",
     ),
 )
 def track_frame_step(
     frame_gray, frame_depth, T_prev, T_prev2, has_vel,
-    pt_pack, pt_desc,
+    pt_pack, pt_desc, pl_pack,
     radius_motion, radius2, th_depth,
     spec: PyramidSpec, intr: Intrinsics, n_features: int,
     th_high: float = 20.0, th_low: float = 7.0,
     depth_factor: float = 5000.0,
+    use_planes: bool = False,
+    plane_info: float = 1e5,
+    plane_assoc_cos: float = 0.94,
+    plane_assoc_dist: float = 0.2,
+    plane_min_support: int = 300,
 ):
     """The whole per-frame device pipeline in ONE dispatch: pose prediction
     (constant-velocity model from the two previous DEVICE-resident poses),
@@ -347,6 +399,49 @@ def track_frame_step(
         T_seed, pt_pos, pt_normal, pt_mind, pt_maxd, pt_bits, pt_valid,
         frame, radius2, TH_HIGH, intr, n_rounds=4, n_iters=10,
     )
+    if use_planes:
+        # --- SP-SLAM tracking plane refinement ([SP], src/Tracking.cc):
+        # segment frame planes from the (possibly subsampled) depth,
+        # associate against the local map-plane snapshot at the point-stage
+        # pose, and jointly re-optimize the pose with plane-to-plane edges.
+        from ..geometry.plane import transform_plane
+        from ..ops.plane_seg import segment_planes
+
+        s = frame_gray.shape[0] // depth.shape[0]
+        intr_d = intr._replace(
+            fx=intr.fx / s, fy=intr.fy / s, cx=intr.cx / s,
+            cy=intr.cy / s, width=intr.width // s, height=intr.height // s,
+        ) if s > 1 else intr
+        fp = segment_planes(depth, intr_d)
+        pl_w = pl_pack[:, 0:4]
+        pl_wvalid = pl_pack[:, 4] > 0.5
+        pi_pred = transform_plane(opt2.T_cw, pl_w)           # [L,4]
+        cos = jnp.einsum("li,ki->lk", pi_pred[:, :3], fp.coef[:, :3])
+        sgn = jnp.where(cos >= 0, 1.0, -1.0)                 # [L,K]
+        dd = jnp.abs(pi_pred[:, 3:4] - sgn * fp.coef[None, :, 3])
+        okm = (
+            pl_wvalid[:, None]
+            & fp.valid[None, :]
+            & (fp.n_inliers[None, :] >= plane_min_support)
+            & (jnp.abs(cos) > plane_assoc_cos)
+            & (dd < plane_assoc_dist)
+        )
+        score = jnp.where(okm, jnp.abs(cos), -1.0)
+        best = jnp.argmax(score, axis=1)                     # [L]
+        has_match = jnp.take_along_axis(score, best[:, None], 1)[:, 0] > 0
+        obs = (
+            fp.coef[best]
+            * jnp.take_along_axis(sgn, best[:, None], 1)
+        )                                                     # aligned [L,4]
+        kp_j = jnp.maximum(match_idx, 0)
+        opt2 = _compact_joint_opt(
+            opt2.T_cw, pt_pos, frame.uv[kp_j],
+            jnp.where(matched, frame.u_right[kp_j], -1.0),
+            octave_inv_sigma2(frame.octave[kp_j]), matched,
+            pl_w, obs, has_match,
+            jnp.full(pl_w.shape[0], plane_info, jnp.float32),
+            frame.uv.shape[0], intr, 2, 5,
+        )
     kp_idx = jnp.maximum(match_idx, 0)
     kp_depth = frame.depth[kp_idx]
     close = (kp_depth > 1e-3) & (kp_depth < th_depth)
@@ -385,6 +480,10 @@ def track_frame_step(
 # the motion-model stage tracked fewer inliers than this (traced into the
 # compiled step at first call)
 FALLBACK_SEED_GATE = 60
+
+# deferred map-point statistics are applied at keyframe churn or after this
+# many ordinary frames, whichever comes first
+STATS_FLUSH_FRAMES = 8
 
 
 def unpack_track_small(buf: np.ndarray, n_local: int):
@@ -474,9 +573,50 @@ class Tracker:
         # raw-depth divisor, applied ON DEVICE when integer depth is fed
         # (float inputs are already meters); System overrides from YAML
         self.depth_factor = 5000.0
+        # tracking-level plane refinement (set by System when use_planes):
+        # compiles the plane-segmentation + joint-LM branch into the fused
+        # step and snapshots the top-PLANE_CAP map planes alongside points
+        self.use_planes = False
         import threading
 
         self._pose_corrected = threading.Event()   # set by loop-closure merge
+        # per-section host-time accounting (tools/profile_host.py): None =
+        # zero-overhead off; a dict turns on per-frame section timing
+        self.perf: Optional[dict] = None
+        # ref_tracked only changes at topology churn; cached by
+        # (ref_kf, topo_version) — re-deriving it from the full per-point
+        # observation tables EVERY frame was a measured host-side sink
+        self._ref_tracked_cache = None
+        # deferred map-point statistic updates: (ids_seen, ids_found) per
+        # frame, applied in one locked batch at keyframe churn / every
+        # STATS_FLUSH_FRAMES (the per-frame lock+scatter was host-side cost
+        # on the critical path; culling reads these stats only at keyframe
+        # cadence, so a few frames of staleness is invisible)
+        self._stat_batch: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def _pt(self, key: str, t0: float) -> float:
+        """Perf-section accounting helper (no-op unless self.perf is set)."""
+        t1 = time.perf_counter()
+        self.perf[key] = self.perf.get(key, 0.0) + (t1 - t0)
+        return t1
+
+    def _flush_stats(self):
+        """Apply the deferred per-frame map-point statistics in one locked
+        batch (np.add.at: point ids repeat across frames)."""
+        if not self._stat_batch:
+            return
+        batch, self._stat_batch = self._stat_batch, []
+        mp = np.concatenate([b[0] for b in batch])
+        mids = np.concatenate([b[1] for b in batch])
+        seen = mids[mp >= 0]
+        seen = seen[seen >= 0]
+        found = mids[mp >= (1 << 20)]
+        found = found[found >= 0]
+        # under the lock: capacity growth swaps the stat arrays, and an
+        # unlocked in-place add could land on the orphaned pre-growth array
+        with self.store.lock:
+            np.add.at(self.store.pt_visible, seen, 1)
+            np.add.at(self.store.pt_found, found, 1)
 
     def external_pose_correction(self, T_cw: np.ndarray):
         """Called (possibly from the mapping thread) when loop closure or BA
@@ -488,10 +628,11 @@ class Tracker:
     # -----------------------------------------------------------------
     def process(self, gray: np.ndarray, depth: np.ndarray, ts: float):
         """Track one RGB-D frame; returns (T_cw [7] np, state)."""
-        if np.issubdtype(depth.dtype, np.integer):
-            depth = depth.astype(np.float32) / self.depth_factor
+        depth_j = jnp.asarray(depth)
+        if jnp.issubdtype(depth_j.dtype, jnp.integer):
+            depth_j = depth_j.astype(jnp.float32) / self.depth_factor
         frame = build_frame(
-            jnp.asarray(gray), jnp.asarray(depth), self.spec, self.intr,
+            jnp.asarray(gray).astype(jnp.float32), depth_j, self.spec, self.intr,
             n_features=self.cfg.n_features,
             th_high=self.cfg.th_fast_high, th_low=self.cfg.th_fast_low,
         )
@@ -516,6 +657,9 @@ class Tracker:
             if depth.dtype == np.uint16
             else np.clip(depth * self.depth_factor, 0, 65535).astype(np.uint16)
         )
+        s = self.cfg.depth_upload_stride
+        if s > 1:
+            d = np.ascontiguousarray(d[::s, ::s])
         return jnp.asarray(g), jnp.asarray(d)
 
     def _dispatch(self, gray: np.ndarray, depth: np.ndarray, ts: float) -> dict:
@@ -530,8 +674,15 @@ class Tracker:
         paying the tunnel round trip.
         """
         cfg = self.cfg
+        perf = self.perf
+        if perf is not None:
+            t = time.perf_counter()
         gray_j, depth_j = self._upload_frame(gray, depth)
-        ids, pack, desc = self._local_snapshot()
+        if perf is not None:
+            t = self._pt("upload", t)
+        ids, pack, desc, pl_pack = self._local_snapshot()
+        if perf is not None:
+            t = self._pt("snapshot", t)
         if self._pose_corrected.is_set():
             self._chain = None
             self._pose_corrected.clear()
@@ -562,17 +713,29 @@ class Tracker:
             self._hv_cache = (jnp.asarray(False), jnp.asarray(True))
         frame, out_small, out_big = track_frame_step(
             gray_j, depth_j, T_prev, T_prev2, self._hv_cache[int(has_vel)],
-            pack, desc,
+            pack, desc, pl_pack,
             cfg.motion_search_radius, cfg.local_search_radius, cfg.th_depth,
             self.spec, self.intr, cfg.n_features,
             cfg.th_fast_high, cfg.th_fast_low,
             depth_factor=self.depth_factor,
+            use_planes=self.use_planes,
+            plane_info=cfg.plane_info,
+            plane_assoc_cos=cfg.plane_assoc_cos,
+            plane_assoc_dist=cfg.plane_assoc_dist,
+            plane_min_support=cfg.plane_min_support,
         )
         T_new = jax.lax.bitcast_convert_type(out_small[0:7], jnp.float32)
-        # only the small buffer's copy starts now; the keyframe bundle stays
-        # on device and is fetched by _resolve iff the frame becomes a KF
+        # both output copies start now.  The keyframe bundle (~100 KB) used
+        # to stay on device until _resolve decided the frame was a keyframe,
+        # but a cold fetch there blocks on the full tunnel round trip behind
+        # the queued uploads (~30 ms per keyframe measured,
+        # tools/profile_host.py); starting it async here costs ~100 KB of
+        # D2H wire per frame and takes the fetch off the critical path
         out_small.copy_to_host_async()
+        out_big.copy_to_host_async()
         self._chain = (T_new, T_prev)  # (T_N device, T_{N-1} device)
+        if perf is not None:
+            self._pt("dispatch", t)
         p = dict(frame=frame, out=out_small, out_big=out_big, ids=ids, ts=ts,
                  gray=gray, depth=depth, frame_id=self.frame_id,
                  force_robust=False)
@@ -604,7 +767,12 @@ class Tracker:
                 new_kf=self.last_kf if self.last_kf != prev_kf else -1,
                 gray=p["gray"], depth=p["depth"],
             )
+        perf = self.perf
+        if perf is not None:
+            t = time.perf_counter()
         buf = np.asarray(p["out"])
+        if perf is not None:
+            t = self._pt("wait_small", t)
         scal, mp = unpack_track_small(buf, cfg.local_points_cap)
         T_new = scal[0:7]
         n1, n2 = int(scal[7]), int(scal[8])
@@ -646,24 +814,30 @@ class Tracker:
         n2_prev = self.last_inliers
         self.last_inliers = n2
 
-        matched = mp >= 0
-        match_idx = np.where(matched, mp & ((1 << 20) - 1), -1)
-        inl = mp >= (1 << 20)
+        # map-point visible/found statistics are DEFERRED: append the raw
+        # match table and apply in one locked batch at keyframe churn or
+        # every STATS_FLUSH_FRAMES — the per-frame mask + lock + scatter was
+        # measurable host time on the critical path, and culling (the only
+        # consumer) runs at keyframe cadence anyway
         mids = np.asarray(p["ids"])
-        seen = mids[matched]
-        found = mids[inl]
-        # under the lock: capacity growth swaps the stat arrays, and an
-        # unlocked in-place add could land on the orphaned pre-growth array
-        with self.store.lock:
-            self.store.pt_visible[seen[seen >= 0]] += 1
-            self.store.pt_found[found[found >= 0]] += 1
+        self._stat_batch.append((mp, mids))
+        if perf is not None:
+            t = self._pt("decode", t)
 
         need_kf = self._need_new_kf(n2, n_close_tracked, close_avail,
                                     n2_prev=n2_prev)
+        if perf is not None:
+            t = self._pt("need_kf", t)
         if need_kf:
+            self._flush_stats()
+            matched = mp >= 0
+            match_idx = np.where(matched, mp & ((1 << 20) - 1), -1)
+            inl = mp >= (1 << 20)
             frame_pack, fdesc = unpack_track_big(
                 np.asarray(p["out_big"]), cfg.n_features
             )
+            if perf is not None:
+                t = self._pt("kf_fetch", t)
             frame_np = self._unpack_frame_np(frame_pack, fdesc)
             kf = self._insert_keyframe(
                 frame, p["ts"],
@@ -674,9 +848,17 @@ class Tracker:
             self.ref_kf = kf
             self.last_kf = kf
             self.frames_since_kf = 0
+            if perf is not None:
+                t = self._pt("kf_insert", t)
+        elif len(self._stat_batch) >= STATS_FLUSH_FRAMES:
+            self._flush_stats()
+            if perf is not None:
+                t = self._pt("stats_flush", t)
         self.metrics.append(
             dict(frame=p["frame_id"], state="OK", inliers=n2, kf=int(need_kf))
         )
+        if perf is not None:
+            self.perf["n_frames"] = self.perf.get("n_frames", 0) + 1
         self.frame_id = fid_after
         return FrameRecord(
             ts=p["ts"], T=self.T_cw.copy(), state=self.state,
@@ -684,17 +866,6 @@ class Tracker:
             new_kf=self.last_kf if need_kf else -1,
             gray=p["gray"], depth=p["depth"],
         )
-
-    def process_fast(self, gray: np.ndarray, depth: np.ndarray, ts: float):
-        """Single-dispatch tracking path: one fused device step per frame,
-        one device_get (synchronous — see process_pipelined for the
-        overlapped variant).  Falls back to the robust multi-step path
-        (process/_track) for initialization and tracking anomalies."""
-        if self.state == TrackState.NOT_INITIALIZED:
-            return self.process(gray, depth, ts)
-        p = self._dispatch(gray, depth, ts)
-        self._resolve(p)
-        return self.T_cw.copy(), self.state
 
     def process_pipelined(self, gray: np.ndarray, depth: np.ndarray, ts: float):
         """Pipelined tracking (depth = self.pipeline_depth): dispatch frame
@@ -730,6 +901,7 @@ class Tracker:
         records = []
         while self._pending:
             records.append(self._resolve(self._pending.pop(0)))
+        self._flush_stats()
         return records
 
     # -----------------------------------------------------------------
@@ -770,15 +942,49 @@ class Tracker:
             with st.lock:
                 ids = cached[2][0]
                 snap = (ids, *self._snapshot_gather(ids))
-            self._snapshot_cache = (key_topo, st.version, snap)
+                # version read INSIDE the locked gather: a writer bumping it
+                # between gather and tag would otherwise be masked and the
+                # cache would serve stale values as current
+                ver = st.version
+            self._snapshot_cache = (key_topo, ver, snap)
             return snap
         with st.lock:
             snap = self._local_snapshot_build()
             self._snapshot_cache = (key_topo, st.version, snap)
         return snap
 
+    def refresh_snapshot_values(self):
+        """Refresh the local-map snapshot cache from the CURRENT store state.
+
+        Called from the MAPPER thread right after a BA write-back (tracking/
+        pipeline.py): the producer of the version bump pays the re-gather +
+        upload instead of the tracker's next _dispatch — the ~5 ms/frame the
+        gather cost on the tracking critical path (tools/profile_host.py)
+        moves into the mapper's idle gaps.  Races are benign: the cache
+        tuple is replaced atomically, and a concurrent ref_kf/topology move
+        in the tracker just makes this refresh a no-op for it."""
+        st = self.store
+        cached = getattr(self, "_snapshot_cache", None)
+        if cached is None:
+            return
+        key_topo = (st.topo_version, self.ref_kf)
+        if cached[0] != key_topo:
+            with st.lock:
+                key_topo = (st.topo_version, self.ref_kf)
+                snap = self._local_snapshot_build()
+                self._snapshot_cache = (key_topo, st.version, snap)
+            return
+        if cached[1] == st.version:
+            return
+        with st.lock:
+            ids = cached[2][0]
+            snap = (ids, *self._snapshot_gather(ids))
+            ver = st.version
+        self._snapshot_cache = (key_topo, ver, snap)
+
     def _snapshot_gather(self, ids: np.ndarray):
-        """Re-gather + upload pack/desc for an already-selected id set."""
+        """Re-gather + upload pack/desc (+ plane pack) for an already-
+        selected id set."""
         st = self.store
         sel = np.maximum(ids, 0)
         # one packed f32 upload (pos | normal | min_dist | max_dist | valid)
@@ -793,7 +999,16 @@ class Tracker:
             ],
             axis=-1,
         ).astype(np.float32)
-        return jnp.asarray(pack_np), jnp.asarray(st.pt_desc[sel])
+        # local map-PLANE snapshot (world coef | valid), top-PLANE_CAP by
+        # support — fixed shape regardless of store growth; ~1.3 KB upload
+        pl_np = np.zeros((PLANE_CAP, 5), np.float32)
+        if self.use_planes:
+            pls = np.nonzero(st.pl_valid)[0]
+            if len(pls) > PLANE_CAP:
+                pls = pls[np.argsort(-st.pl_n_pts[pls], kind="stable")[:PLANE_CAP]]
+            pl_np[: len(pls), 0:4] = st.pl_coef[pls]
+            pl_np[: len(pls), 4] = 1.0
+        return jnp.asarray(pack_np), jnp.asarray(st.pt_desc[sel]), jnp.asarray(pl_np)
 
     def _local_snapshot_build(self):
         st = self.store
@@ -809,12 +1024,11 @@ class Tracker:
             pts = pts[order[:cap]]
         pad = cap - len(pts)
         ids = np.concatenate([pts, np.full(pad, -1, np.int32)])
-        pack, desc = self._snapshot_gather(ids)
-        return ids, pack, desc
+        return (ids, *self._snapshot_gather(ids))
 
     def _track(self, frame: FrameData, ts: float):
         cfg = self.cfg
-        ids, pack, desc = self._local_snapshot()
+        ids, pack, desc, _pl = self._local_snapshot()
         pos, normal = pack[:, 0:3], pack[:, 3:6]
         mind, maxd = pack[:, 6], pack[:, 7]
         valid = pack[:, 8] > 0.5
@@ -933,18 +1147,28 @@ class Tracker:
         keyframe insertion deadlocks — the round-1 ATE regression)."""
         cfg = self.cfg
         st = self.store
-        min_obs = 3 if int(st.kf_valid.sum()) > 2 else 2
-        ref_pts = st.kf_obs[self.ref_kf]
-        ref_pts = ref_pts[ref_pts >= 0]
-        # the reference's MapPoint::nObs counts stereo/RGB-D observations
-        # DOUBLE (AddObservation: nObs += 2 when mvuRight >= 0), so a
-        # depth-backed point reaches nObs=2 from its birth keyframe alone
-        obs_kf = st.pt_obs_kf[ref_pts]      # [n, O]
-        obs_slot = st.pt_obs_slot[ref_pts]  # [n, O]
-        has = obs_kf >= 0
-        stereo = has & (st.kf_ur[np.maximum(obs_kf, 0), np.maximum(obs_slot, 0)] >= 0)
-        n_obs_w = (has.astype(np.int32) + stereo.astype(np.int32)).sum(axis=1)
-        ref_tracked = int(np.sum(n_obs_w >= min_obs))
+        # ref_tracked depends only on the observation TOPOLOGY around the
+        # reference keyframe — cache by (ref_kf, topo_version) instead of
+        # re-deriving from the full per-point obs tables every frame (a
+        # measured ~ms-class host sink at steady state)
+        key = (self.ref_kf, st.topo_version)
+        cached = self._ref_tracked_cache
+        if cached is not None and cached[0] == key:
+            ref_tracked = cached[1]
+        else:
+            min_obs = 3 if int(st.kf_valid.sum()) > 2 else 2
+            ref_pts = st.kf_obs[self.ref_kf]
+            ref_pts = ref_pts[ref_pts >= 0]
+            # the reference's MapPoint::nObs counts stereo/RGB-D observations
+            # DOUBLE (AddObservation: nObs += 2 when mvuRight >= 0), so a
+            # depth-backed point reaches nObs=2 from its birth keyframe alone
+            obs_kf = st.pt_obs_kf[ref_pts]      # [n, O]
+            obs_slot = st.pt_obs_slot[ref_pts]  # [n, O]
+            has = obs_kf >= 0
+            stereo = has & (st.kf_ur[np.maximum(obs_kf, 0), np.maximum(obs_slot, 0)] >= 0)
+            n_obs_w = (has.astype(np.int32) + stereo.astype(np.int32)).sum(axis=1)
+            ref_tracked = int(np.sum(n_obs_w >= min_obs))
+            self._ref_tracked_cache = (key, ref_tracked)
         need_close = (
             n_close_tracked < cfg.new_kf_close_points
             and close_avail - n_close_tracked > 70

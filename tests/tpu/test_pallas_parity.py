@@ -96,14 +96,14 @@ class TestFallbackGateOnChip:
         tracker.flush_pipeline()
         assert tracker.state.name == "OK"
 
-        ids, pack, desc = tracker._local_snapshot()
+        ids, pack, desc, pl_pack = tracker._local_snapshot()
         gray, depth = seq.frames[-1]
         gray_j, depth_j = tracker._upload_frame(gray, depth)
 
         def step(T_prev):
             return track_frame_step(
                 gray_j, depth_j, jnp.asarray(T_prev), jnp.asarray(T_prev),
-                jnp.asarray(False), pack, desc,
+                jnp.asarray(False), pack, desc, pl_pack,
                 cfg.motion_search_radius, cfg.local_search_radius,
                 cfg.th_depth, tracker.spec, tracker.intr, cfg.n_features,
                 cfg.th_fast_high, cfg.th_fast_low,

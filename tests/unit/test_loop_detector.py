@@ -25,31 +25,42 @@ class TestConsistencyAccumulator:
     def test_accepts_after_n_consecutive_consistent_detections(self):
         lc = make_closer(consistency_needed=3)
         g = {0, 1, 2}
-        assert lc._consistency_check([(0, g)]) == []          # count 0
-        assert lc._consistency_check([(1, {2, 3})]) == []     # count 1
-        assert lc._consistency_check([(2, {3, 4})]) == [2]    # count 2 -> fire
+        assert lc._consistency_check([(0, g)])[0] == []          # count 0
+        assert lc._consistency_check([(1, {2, 3})])[0] == []     # count 1
+        assert lc._consistency_check([(2, {3, 4})])[0] == [2]    # count 2 -> fire
 
     def test_chain_resets_on_detection_gap(self):
         lc = make_closer(consistency_needed=3)
         lc._consistency_check([(0, {0, 1})])
         lc._consistency_check([(1, {1, 2})])
         lc._consistent = []  # what process_keyframe does on an empty query
-        assert lc._consistency_check([(2, {2, 3})]) == []
-        assert lc._consistency_check([(3, {3, 4})]) == []
-        assert lc._consistency_check([(4, {4, 5})]) == [4]
+        assert lc._consistency_check([(2, {2, 3})])[0] == []
+        assert lc._consistency_check([(3, {3, 4})])[0] == []
+        assert lc._consistency_check([(4, {4, 5})])[0] == [4]
 
     def test_disjoint_groups_do_not_accumulate(self):
         lc = make_closer(consistency_needed=2)
         lc._consistency_check([(0, {0, 1})])
         # group shares nothing with the previous detection
-        assert lc._consistency_check([(5, {8, 9})]) == []
+        assert lc._consistency_check([(5, {8, 9})])[0] == []
 
     def test_parallel_chains_tracked_independently(self):
         lc = make_closer(consistency_needed=3)
         lc._consistency_check([(0, {0, 1}), (10, {10, 11})])
         lc._consistency_check([(1, {1, 2}), (11, {11, 12})])
-        accepted = lc._consistency_check([(2, {2, 3}), (12, {12, 13})])
+        accepted, _near = lc._consistency_check([(2, {2, 3}), (12, {12, 13})])
         assert set(accepted) == {2, 12}
+
+    def test_near_candidates_one_detection_short(self):
+        # the early-closure path (LoopConfig.early_close_inlier_scale) gets
+        # candidates exactly one consecutive detection short of the chain
+        lc = make_closer(consistency_needed=3)
+        acc, near = lc._consistency_check([(0, {0, 1})])
+        assert acc == [] and near == []          # count 0: two short
+        acc, near = lc._consistency_check([(1, {1, 2})])
+        assert acc == [] and near == [1]         # count 1: one short
+        acc, near = lc._consistency_check([(2, {2, 3})])
+        assert acc == [2] and near == []         # full chain
 
 
 class TestCandidateRetrieval:

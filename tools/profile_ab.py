@@ -50,11 +50,12 @@ def main():
         np.random.RandomState(1).randint(0, 2**32, (PL, 8), np.uint64).astype(np.uint32)
     )
     T0 = jnp.asarray(np.array([1, 0, 0, 0, 0, 0, 0], np.float32))
+    pl_pack = jnp.zeros((64, 5), jnp.float32)
     hv = jnp.asarray(True)
 
     def real(T, T2):
         return track_frame_step(
-            gray_j, depth_j, T, T2, hv, pt_pack, pt_desc,
+            gray_j, depth_j, T, T2, hv, pt_pack, pt_desc, pl_pack,
             cfg.motion_search_radius, cfg.local_search_radius, cfg.th_depth,
             spec, intr, cfg.n_features, cfg.th_fast_high, cfg.th_fast_low,
         )

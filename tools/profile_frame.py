@@ -104,6 +104,7 @@ def main():
     )
     pack = jnp.asarray(pack_np)
     desc = jnp.asarray(rng.integers(0, 2**32, size=(P, 8), dtype=np.uint64).astype(np.uint32))
+    pl_pack = jnp.zeros((64, 5), jnp.float32)
     T0 = jnp.asarray(np.array([1, 0, 0, 0, 0, 0, 0], np.float32))
     gray_j = jnp.asarray(np.clip(gray, 0, 255).astype(np.uint8))
     depth_j = jnp.asarray(np.clip(depth * 5000.0, 0, 65535).astype(np.uint16))
@@ -111,7 +112,7 @@ def main():
     def fused():
         out = track_frame_step(
             gray_j, depth_j, T0, T0, jnp.asarray(False),
-            pack, desc,
+            pack, desc, pl_pack,
             cfg.motion_search_radius, cfg.local_search_radius, cfg.th_depth,
             spec, intr, cfg.n_features, cfg.th_fast_high, cfg.th_fast_low,
         )

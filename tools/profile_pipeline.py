@@ -43,14 +43,21 @@ def main():
     spec = PyramidSpec(n_levels=8, scale_factor=1.2, height=intr.height, width=intr.width)
 
     # mirror Tracker._upload_frame's live dtypes: u8 gray + u16 raw depth
+    # at the configured upload stride
+    s = cfg.depth_upload_stride
     frames_np = [np.clip(g, 0, 255).astype(np.uint8) for g, d in seq.frames]
-    depths_np = [np.clip(d * 5000.0, 0, 65535).astype(np.uint16)
-                 for g, d in seq.frames]
+    depths_np = [
+        np.ascontiguousarray(
+            np.clip(d * 5000.0, 0, 65535).astype(np.uint16)[::s, ::s]
+        )
+        for g, d in seq.frames
+    ]
     frame_j = jnp.asarray(frames_np[0])
     depth_j = jnp.asarray(depths_np[0])
     PL = cfg.local_points_cap
     pt_pack = jnp.zeros((PL, 9), jnp.float32)
     pt_desc = jnp.zeros((PL, 8), jnp.uint32)
+    pl_pack = jnp.zeros((64, 5), jnp.float32)
     T0 = jnp.asarray(np.array([1, 0, 0, 0, 0, 0, 0], np.float32))
 
     hv = jnp.asarray(True)
@@ -58,7 +65,7 @@ def main():
     def step(frame_b, depth_b, T_prev, T_prev2):
         return track_frame_step(
             frame_b, depth_b, T_prev, T_prev2, hv,
-            pt_pack, pt_desc,
+            pt_pack, pt_desc, pl_pack,
             cfg.motion_search_radius, cfg.local_search_radius, cfg.th_depth,
             spec, intr, cfg.n_features, cfg.th_fast_high, cfg.th_fast_low,
         )
@@ -127,8 +134,8 @@ def main():
     from spslam_tpu.tracking.tracker import _match_and_optimize
     from spslam_tpu.ops.brief import unpack_bits
 
-    gray_f = frame_j[0].astype(jnp.float32)
-    depth_f = (frame_j[1].astype(jnp.float32) + frame_j[2].astype(jnp.float32) * 256.0) / 5000.0
+    gray_f = frame_j.astype(jnp.float32)
+    depth_f = depth_j.astype(jnp.float32) / 5000.0
 
     def bf():
         return build_frame(gray_f, depth_f, spec, intr, n_features=cfg.n_features,
