@@ -192,6 +192,48 @@ def main():
             file=sys.stderr,
         )
 
+    # ---- low-texture lane (BASELINE config #3: ICL-NUIM-style plane-
+    # dominant, near-blank walls — the SP-SLAM value proposition: point-only
+    # tracking degrades, planes must recover it) ----
+    lowtex_pt_rmse = lowtex_pl_rmse = lowtex_pl_fps = None
+    if os.environ.get("BENCH_LOWTEX", "1") != "0":
+        print("rendering low-texture sequence...", file=sys.stderr)
+        ltx = cached_sequence("lowtex30", n_frames=30, low_texture=True,
+                              depth_noise=0.006, seed=3)
+
+        def make_lowtex_system(up):
+            return System(SystemConfig(
+                intr=ltx.intr, local_ba=True, async_mapping=True,
+                use_planes=up, tracker=TrackerConfig(th_depth=3.2),
+            ))
+
+        for up in (False, True):
+            warm = make_lowtex_system(up)
+            for (gray, depth), ts in zip(ltx.frames[:8], ltx.timestamps[:8]):
+                warm.track_rgbd(gray, depth, ts)
+            warm.shutdown()
+        best_ltx = {}
+        for up in (False, True):
+            runs = []
+            for p in range(2):
+                sys_t = make_lowtex_system(up)
+                ttimes = []
+                for (gray, depth), ts in zip(ltx.frames, ltx.timestamps):
+                    t0 = time.perf_counter()
+                    sys_t.track_rgbd(gray, depth, ts)
+                    ttimes.append(time.perf_counter() - t0)
+                sys_t.shutdown()
+                rr, _ = ate_rmse(sys_t.poses(), ltx.poses_gt)
+                runs.append((rr, float(np.median(np.array(ttimes[5:])))))
+            rr = float(np.mean([r for r, _ in runs]))     # mean of passes
+            med = float(np.median([m for _, m in runs]))
+            best_ltx[up] = (rr, med)
+            print(f"  lowtex planes={up}: ATE mean {rr*1000:.2f} mm, "
+                  f"median {med*1000:.1f} ms/frame", file=sys.stderr)
+        lowtex_pt_rmse = best_ltx[False][0]
+        lowtex_pl_rmse = best_ltx[True][0]
+        lowtex_pl_fps = 1.0 / best_ltx[True][1]
+
     # ---- loop-closure lane (BASELINE config #4: full loop closing + PGO +
     # global BA on a revisit trajectory; fps here includes the closure's
     # latency spike) ----
@@ -209,13 +251,11 @@ def main():
         )
 
         def make_loop_system():
+            # default config: System auto-caps pipeline depth at 2 for loop
+            # configurations (the consistency chain needs keyframe cadence)
             return System(SystemConfig(
                 intr=lseq.intr, local_ba=True, async_mapping=True,
-                use_loop=True,
-                # conservative depth 2 on the closure lane: keyframe cadence
-                # feeds the detector's consistency chain; continuity with the
-                # r4-measured configuration
-                tracker=TrackerConfig(th_depth=3.2, pipeline_depth=2),
+                use_loop=True, tracker=TrackerConfig(th_depth=3.2),
             ))
 
         warm = make_loop_system()
@@ -296,6 +336,10 @@ def main():
         out["planes_fps"] = round(planes_fps, 2)
         out["planes_ate_rmse_m"] = round(planes_rmse, 5)
         out["plane_passes"] = plane_passes
+    if lowtex_pt_rmse is not None:
+        out["lowtex_point_ate_rmse_m"] = round(lowtex_pt_rmse, 5)
+        out["lowtex_planes_ate_rmse_m"] = round(lowtex_pl_rmse, 5)
+        out["lowtex_planes_fps"] = round(lowtex_pl_fps, 2)
     if loop_fps is not None:
         out["loop_fps"] = round(loop_fps, 2)
         out["loop_ate_rmse_m"] = round(loop_rmse, 5)   # MEAN over passes

@@ -146,12 +146,12 @@ class LoopCloser:
         ]
         if covis_scores:
             min_score = max(min_score, min(covis_scores))
-        # during a sustained revisit (a live consistency chain) widen the
-        # candidate list so the chain never breaks on candidate truncation
-        in_revisit = any(c >= 1 for _, c in self._consistent)
-        cands = self.kfdb.query(
-            bow, exclude, min_score, max_results=16 if in_revisit else 8
-        )
+        # NOTE: widening max_results during sustained revisits was tried and
+        # measurably HURTS (11.9 -> 76.7 mm on the canonical loop sequence):
+        # extra low-scoring members inflate _acc_score_filter's accumulated
+        # scores and its 75%-of-best gate then admits poorer candidates whose
+        # verified-but-less-accurate alignments become bad loop edges.
+        cands = self.kfdb.query(bow, exclude, min_score)
         self.kfdb.add(kf, bow)
         cands = self._acc_score_filter(cands)
         if not cands:

@@ -54,11 +54,13 @@ class System:
         self.store = MapStore(cfg.map)
         self.tracker = Tracker(cfg.tracker, cfg.intr, self.store)
         self.tracker.depth_factor = cfg.depth_map_factor
-        if cfg.use_planes and self.tracker.pipeline_depth > 2:
-            # plane-lane accuracy is sensitive to keyframe cadence, which
-            # deeper pipelining shifts (TrackerConfig.pipeline_depth note):
-            # cap the plane configuration at depth 2 so the DEFAULT config
-            # is safe on every lane
+        if (cfg.use_planes or cfg.use_loop) and self.tracker.pipeline_depth > 2:
+            # plane accuracy and loop DETECTION are both sensitive to
+            # keyframe cadence, which deeper pipelining shifts (the
+            # 3-consecutive-detection chain never completes at depth 3 on
+            # fast revisits: 0 closures measured on the canonical loop
+            # sequence) — cap those configurations at depth 2 so the
+            # DEFAULT config is safe on every lane
             self.tracker.pipeline_depth = 2
         self.mapper = LocalMapper(cfg.mapper, cfg.intr, self.store)
         self.plane_mapper = None

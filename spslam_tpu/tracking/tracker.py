@@ -96,11 +96,14 @@ class TrackerConfig:
     # LM refine (solver/pose_opt.pose_optimization_joint).  This is what
     # carries tracking through low-texture frames where points alone drift
     # (SURVEY.md §6: planes help most on low texture).
-    plane_info: float = 1e5        # per-plane information (sigma ~3 mrad/3 mm
-                                   # — what a multi-thousand-pixel segment
-                                   # fit supports; point reproj rows carry
-                                   # fx/z ~ 100 each, so lower info is
-                                   # outvoted by even a handful of points)
+    plane_info: float = 1e4        # per-plane information (sigma ~10 mrad/
+                                   # 10 mm).  Point reproj rows carry fx/z
+                                   # ~100 each so planes only steer when
+                                   # points are few/weak — exactly the
+                                   # low-texture regime; measured best of
+                                   # {1e4,1e5,3e5} on BOTH the textured
+                                   # (2.8 vs 3.5 mm) and low-texture
+                                   # (11 vs 17.6 mm) CPU lanes.
     plane_assoc_cos: float = 0.94  # association gates at the predicted pose
     plane_assoc_dist: float = 0.2
     plane_min_support: int = 300   # pixels at the UPLOAD resolution
@@ -434,12 +437,16 @@ def track_frame_step(
             * jnp.take_along_axis(sgn, best[:, None], 1)
         )                                                     # aligned [L,4]
         kp_j = jnp.maximum(match_idx, 0)
+        # information proportional to the observed plane's pixel support
+        # (a 20k-pixel wall fit is far more certain than a 1k-pixel sliver;
+        # 1000 px at the stride-2 upload resolution = the nominal support)
+        sup = fp.n_inliers[best].astype(jnp.float32)
+        pl_info_vec = plane_info * jnp.clip(sup / 1000.0, 0.5, 8.0)
         opt2 = _compact_joint_opt(
             opt2.T_cw, pt_pos, frame.uv[kp_j],
             jnp.where(matched, frame.u_right[kp_j], -1.0),
             octave_inv_sigma2(frame.octave[kp_j]), matched,
-            pl_w, obs, has_match,
-            jnp.full(pl_w.shape[0], plane_info, jnp.float32),
+            pl_w, obs, has_match, pl_info_vec,
             frame.uv.shape[0], intr, 2, 5,
         )
     kp_idx = jnp.maximum(match_idx, 0)
@@ -464,15 +471,32 @@ def track_frame_step(
         jnp.maximum(match_idx, 0) + jnp.where(opt2.inliers, 1 << 20, 0),
         -1,
     ).astype(jnp.int32)
-    frame_pack, desc = _pack_frame(frame)
     out_small = jnp.concatenate([
         jax.lax.bitcast_convert_type(scal, jnp.uint32),
         jax.lax.bitcast_convert_type(match_pack, jnp.uint32),
     ])
-    out_big = jnp.concatenate([
-        jax.lax.bitcast_convert_type(frame_pack.reshape(-1), jnp.uint32),
-        desc.reshape(-1),
-    ])
+    # compact keyframe-insertion bundle, 10N words (~40 KB at N=1024):
+    #   w0 = uv quantized to 1/16 px (u16 | u16)
+    #   w1 = raw depth u16 | (octave + valid bit) u8 | angle/256 u8
+    #   desc 8N — u_right and xyz_cam are RECOMPUTED on host from uv+depth
+    # (the old raw f32 pack was 72 KB; every KB rides the ~47 MB/s tunnel
+    # wire per frame since the copy starts at dispatch)
+    w0 = (
+        jnp.clip(jnp.round(frame.uv[:, 0] * 16.0), 0, 65535).astype(jnp.uint32)
+        | (jnp.clip(jnp.round(frame.uv[:, 1] * 16.0), 0, 65535).astype(jnp.uint32) << 16)
+    )
+    two_pi = 2.0 * jnp.pi
+    ang_b = jnp.round((frame.angle % two_pi) / two_pi * 256.0).astype(jnp.uint32) % 256
+    oct_b = (
+        (frame.octave.astype(jnp.uint32) & 0x7F)
+        | jnp.where(frame.valid, jnp.uint32(0x80), jnp.uint32(0))
+    )
+    w1 = (
+        jnp.clip(jnp.round(frame.depth * depth_factor), 0, 65535).astype(jnp.uint32)
+        | (oct_b << 16)
+        | (ang_b << 24)
+    )
+    out_big = jnp.concatenate([w0, w1, frame.desc.reshape(-1)])
     return frame, out_small, out_big
 
 
@@ -498,15 +522,39 @@ def unpack_track_small(buf: np.ndarray, n_local: int):
     return scal, mp
 
 
-def unpack_track_big(buf: np.ndarray, n_kp: int):
-    """Host-side decode of the keyframe-insertion bundle:
-    returns (frame_pack f32[N,10], desc u32[N,8])."""
-    assert buf.size == 18 * n_kp, (
+def unpack_track_big(buf: np.ndarray, n_kp: int, intr: Intrinsics,
+                     depth_factor: float) -> dict:
+    """Host-side decode of the compact keyframe bundle (see track_frame_step)
+    into the keyframe-insertion dict; u_right and xyz_cam are recomputed
+    from the dequantized uv + depth (uR = u - bf/z; pinhole unprojection —
+    quantization error is ~0.06 px / 0.2 mm, below sensor noise)."""
+    assert buf.size == 10 * n_kp, (
         f"track_frame_step big-output layout mismatch: buffer has "
-        f"{buf.size} words, expected 18*{n_kp}"
+        f"{buf.size} words, expected 10*{n_kp}"
     )
-    fp = buf[: 10 * n_kp].view(np.float32)
-    return fp.reshape(n_kp, 10), buf[10 * n_kp:].reshape(n_kp, 8)
+    w0 = buf[:n_kp]
+    w1 = buf[n_kp : 2 * n_kp]
+    desc = buf[2 * n_kp :].reshape(n_kp, 8)
+    u = (w0 & 0xFFFF).astype(np.float32) / 16.0
+    v = (w0 >> 16).astype(np.float32) / 16.0
+    depth = (w1 & 0xFFFF).astype(np.float32) / depth_factor
+    octave = ((w1 >> 16) & 0x7F).astype(np.int32)
+    valid = ((w1 >> 16) & 0x80) > 0
+    angle = ((w1 >> 24) & 0xFF).astype(np.float32) * (2.0 * np.pi / 256.0)
+    has_d = depth > 1e-6
+    ur = np.where(has_d, u - intr.bf / np.maximum(depth, 1e-6), -1.0).astype(np.float32)
+    x = (u - intr.cx) / intr.fx * depth
+    y = (v - intr.cy) / intr.fy * depth
+    return dict(
+        uv=np.stack([u, v], -1),
+        octave=octave,
+        angle=angle,
+        depth=depth,
+        u_right=ur,
+        valid=valid,
+        xyz_cam=np.stack([x, y, depth], -1).astype(np.float32),
+        desc=desc,
+    )
 
 
 @jax.jit
@@ -833,12 +881,12 @@ class Tracker:
             matched = mp >= 0
             match_idx = np.where(matched, mp & ((1 << 20) - 1), -1)
             inl = mp >= (1 << 20)
-            frame_pack, fdesc = unpack_track_big(
-                np.asarray(p["out_big"]), cfg.n_features
+            frame_np = unpack_track_big(
+                np.asarray(p["out_big"]), cfg.n_features, self.intr,
+                self.depth_factor,
             )
             if perf is not None:
                 t = self._pt("kf_fetch", t)
-            frame_np = self._unpack_frame_np(frame_pack, fdesc)
             kf = self._insert_keyframe(
                 frame, p["ts"],
                 matches_pt_ids=np.where(inl, mids, -1),
@@ -941,7 +989,7 @@ class Tracker:
                 return cached[2]
             with st.lock:
                 ids = cached[2][0]
-                snap = (ids, *self._snapshot_gather(ids))
+                snap = (ids, *self._snapshot_gather(ids, desc_cached=cached[2][2]))
                 # version read INSIDE the locked gather: a writer bumping it
                 # between gather and tag would otherwise be masked and the
                 # cache would serve stale values as current
@@ -978,13 +1026,20 @@ class Tracker:
             return
         with st.lock:
             ids = cached[2][0]
-            snap = (ids, *self._snapshot_gather(ids))
+            snap = (ids, *self._snapshot_gather(ids, desc_cached=cached[2][2]))
             ver = st.version
         self._snapshot_cache = (key_topo, ver, snap)
 
-    def _snapshot_gather(self, ids: np.ndarray):
+    def _snapshot_gather(self, ids: np.ndarray, desc_cached=None):
         """Re-gather + upload pack/desc (+ plane pack) for an already-
-        selected id set."""
+        selected id set.
+
+        desc_cached: pass the previous DEVICE descriptor buffer on a
+        value-only refresh to skip its 131 KB re-upload — descriptors for a
+        fixed id set only change through the distinctive-descriptor refresh,
+        and serving those a few frames stale is invisible to matching while
+        the wire bytes are not (~47 MB/s tunnel); a topology change still
+        re-uploads fresh descriptors."""
         st = self.store
         sel = np.maximum(ids, 0)
         # one packed f32 upload (pos | normal | min_dist | max_dist | valid)
@@ -1008,7 +1063,11 @@ class Tracker:
                 pls = pls[np.argsort(-st.pl_n_pts[pls], kind="stable")[:PLANE_CAP]]
             pl_np[: len(pls), 0:4] = st.pl_coef[pls]
             pl_np[: len(pls), 4] = 1.0
-        return jnp.asarray(pack_np), jnp.asarray(st.pt_desc[sel]), jnp.asarray(pl_np)
+        desc = (
+            desc_cached if desc_cached is not None
+            else jnp.asarray(st.pt_desc[sel])
+        )
+        return jnp.asarray(pack_np), desc, jnp.asarray(pl_np)
 
     def _local_snapshot_build(self):
         st = self.store
@@ -1263,21 +1322,6 @@ class Tracker:
             self.metrics.append(dict(frame=self.frame_id, state="RELOC", cand=int(cand)))
             return T_cw
         return None
-
-    @staticmethod
-    def _unpack_frame_np(packed: np.ndarray, desc: np.ndarray) -> dict:
-        """Decode the [N, 10] f32 frame_pack + desc (already on host) into
-        the keyframe-insertion dict."""
-        return dict(
-            uv=packed[:, 0:2],
-            octave=packed[:, 2].astype(np.int32),
-            angle=packed[:, 3],
-            depth=packed[:, 4],
-            u_right=packed[:, 5],
-            valid=packed[:, 6] > 0.5,
-            xyz_cam=packed[:, 7:10],
-            desc=desc,
-        )
 
     def _frame_to_np(self, frame: FrameData) -> dict:
         # two device->host transfers for the whole frame bundle: one packed

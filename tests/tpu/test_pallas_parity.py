@@ -112,11 +112,13 @@ class TestFallbackGateOnChip:
         # strong prior: the true last pose — motion seed tracks, fallback skipped
         _, small, big = step(tracker.T_cw)
         scal, mp = unpack_track_small(np.asarray(small), cfg.local_points_cap)
-        fp, de = unpack_track_big(np.asarray(big), cfg.n_features)
+        fnp = unpack_track_big(np.asarray(big), cfg.n_features, seq.intr,
+                               tracker.depth_factor)
         assert scal[11] == -1.0, f"fallback ran despite strong seed: {scal[11]}"
         assert scal[8] > 50, "tight stage should track from the true pose"
-        assert fp.shape == (cfg.n_features, 10) and de.shape == (cfg.n_features, 8)
-        assert np.isfinite(fp).all()
+        assert fnp["uv"].shape == (cfg.n_features, 2)
+        assert fnp["desc"].shape == (cfg.n_features, 8)
+        assert np.isfinite(fnp["xyz_cam"]).all() and fnp["valid"].sum() > 100
 
         # garbage prior: 5 m away — the motion window misses, fallback fires
         T_bad = tracker.T_cw.copy()
