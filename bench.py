@@ -199,7 +199,7 @@ def main():
     if os.environ.get("BENCH_LOWTEX", "1") != "0":
         print("rendering low-texture sequence...", file=sys.stderr)
         ltx = cached_sequence("lowtex30", n_frames=30, low_texture=True,
-                              depth_noise=0.006, seed=3)
+                              depth_noise=0.008, seed=7)
 
         def make_lowtex_system(up):
             return System(SystemConfig(
@@ -218,7 +218,16 @@ def main():
             for p in range(2):
                 sys_t = make_lowtex_system(up)
                 ttimes = []
+                t_start = time.perf_counter()
+                # real-time 30 fps camera pacing like the loop lane: the
+                # mapper's plane/BA work needs the wall time a real camera
+                # provides (unpaced feeding spins the camera 2-3x physical
+                # speed on chip and starves it)
                 for (gray, depth), ts in zip(ltx.frames, ltx.timestamps):
+                    tgt = t_start + (float(ts) - float(ltx.timestamps[0]))
+                    now = time.perf_counter()
+                    if now < tgt:
+                        time.sleep(tgt - now)
                     t0 = time.perf_counter()
                     sys_t.track_rgbd(gray, depth, ts)
                     ttimes.append(time.perf_counter() - t0)

@@ -93,6 +93,9 @@ class LoopCloser:
         self.loop_edges: list[tuple[int, int, np.ndarray]] = []  # (i, j, T_ij rel)
         self.n_loops_closed = 0
         self.last_assembly_ms = 0.0   # host edge-assembly time, per closure
+        # compact event log (detection-chain progress + closures) for the
+        # loop-lane diagnostics (tools/loop_lane_debug.py); few entries/run
+        self.events: list[dict] = []
         self._rng_key = jax.random.PRNGKey(17)
         self._gba_pool = None         # lazy 1-worker executor (gba_async)
         self._gba_future = None
@@ -170,11 +173,21 @@ class LoopCloser:
         # bad closure wrecks the map (ATE 36-97 mm -> 227 mm measured).
         # The reference's 3-consecutive requirement stays for every closure.
         accepted, near = self._consistency_check(cand_groups)
+        self.events.append(dict(
+            kind="detect", kf=int(kf),
+            cands=[(int(c), round(float(s), 4)) for c, s in cands[:3]],
+            chain=max((c for _, c in self._consistent), default=0),
+            accepted=list(map(int, accepted)), near=list(map(int, near)),
+        ))
 
         # geometric verification on every consistent candidate until one
         # passes (the reference iterates candidates in ComputeSim3 too)
         for cand in accepted:
             if self._close_loop(kf, cand):
+                self.events.append(dict(
+                    kind="closed", kf=int(kf), cand=int(cand), early=False,
+                    assembly_ms=round(self.last_assembly_ms, 2),
+                ))
                 return True
         # early-closure path: one detection short of the chain, double bar
         if self.cfg.early_close_inlier_scale > 0:
@@ -182,6 +195,10 @@ class LoopCloser:
                 if self._close_loop(
                     kf, cand, inlier_scale=self.cfg.early_close_inlier_scale
                 ):
+                    self.events.append(dict(
+                        kind="closed", kf=int(kf), cand=int(cand), early=True,
+                        assembly_ms=round(self.last_assembly_ms, 2),
+                    ))
                     return True
         return False
 

@@ -41,17 +41,26 @@ class FramePlanes(NamedTuple):
 def _block_moments(xyz: jnp.ndarray, valid: jnp.ndarray, bs: int):
     """Per-block first/second moments. xyz: [H,W,3]; valid: [H,W].
 
-    Returns (count [BH,BW], mean [BH,BW,3], cov [BH,BW,3,3])."""
+    Returns (count [BH,BW], mean [BH,BW,3], cov [BH,BW,3,3]).
+
+    The covariance is computed from CENTERED coordinates at HIGHEST matmul
+    precision: TPU einsums default to bf16 inputs, and the E[xx]-mu mu^T
+    form with ~4 m world coordinates cancels ~6 significant digits — the
+    smallest eigenvalue (the planarity signal, ~1e-4 m^2) drowned entirely
+    and on-chip segmentation shattered into garbage fragments while the CPU
+    path was fine."""
     H, W, _ = xyz.shape
     BH, BW = H // bs, W // bs
     v = valid[: BH * bs, : BW * bs].reshape(BH, bs, BW, bs).astype(xyz.dtype)
     p = xyz[: BH * bs, : BW * bs].reshape(BH, bs, BW, bs, 3) * v[..., None]
     cnt = v.sum((1, 3))
     s1 = p.sum((1, 3))
-    s2 = jnp.einsum("hawbi,hawbj->hwij", p, p)
     safe = jnp.maximum(cnt, 1.0)
     mean = s1 / safe[..., None]
-    cov = s2 / safe[..., None, None] - jnp.einsum("hwi,hwj->hwij", mean, mean)
+    pc = (p - mean[:, None, :, None, :]) * v[..., None]
+    cov = jnp.einsum(
+        "hawbi,hawbj->hwij", pc, pc, precision=jax.lax.Precision.HIGHEST
+    ) / safe[..., None, None]
     return cnt, mean, cov
 
 
@@ -197,9 +206,12 @@ def segment_planes(
     s1 = mean.reshape(-1, 3) * w_blk[:, None]
     sum_x = jnp.zeros((nb, 3)).at[seg_ids].add(s1)
     # second moments: reconstruct block scatter = cnt*(cov + mean mean^T)
+    # (HIGHEST precision: bf16 outer products of ~4 m coordinates would
+    # inject ~1e-1 errors into a cancellation that needs ~6 digits)
     blk_s2 = cnt.reshape(-1)[:, None, None] * (
         cov.reshape(-1, 3, 3)
-        + jnp.einsum("bi,bj->bij", mean.reshape(-1, 3), mean.reshape(-1, 3))
+        + jnp.einsum("bi,bj->bij", mean.reshape(-1, 3), mean.reshape(-1, 3),
+                     precision=jax.lax.Precision.HIGHEST)
     )
     sum_xx = jnp.zeros((nb, 3, 3)).at[seg_ids].add(
         jnp.where(seg_valid[:, None, None], blk_s2, 0.0)
@@ -214,10 +226,20 @@ def segment_planes(
     seg_w = jnp.maximum(sum_w[top_seg], 1.0)
     seg_mean = sum_x[top_seg] / seg_w[:, None]
     seg_cov = sum_xx[top_seg] / seg_w[:, None, None] - jnp.einsum(
-        "ki,kj->kij", seg_mean, seg_mean
+        "ki,kj->kij", seg_mean, seg_mean,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    n_k, d_k, _, _, _ = _plane_from_cov(seg_mean, seg_cov)
+    n_k, d_k, _, seg_mse, _ = _plane_from_cov(seg_mean, seg_cov)
     coef = jnp.concatenate([n_k, d_k[:, None]], axis=-1)
+    # SEGMENT-level residual gate: block-level noise tolerance (noise_ok)
+    # can chain slightly-blended edge blocks around a fold and merge two
+    # walls into one "plane" (an 83k-pixel 45-degree corner monster was
+    # measured doing exactly this).  At segment scale the statistics are
+    # noise-averaged: a true plane's refit residual stays ~sigma(z)^2 while
+    # a fold's grows with its spatial extent — reject segments whose
+    # residual the sensor model cannot explain.
+    sigma_seg = depth_sigma_frac * jnp.maximum(seg_mean[..., 2], 1.0)
+    k_valid = k_valid & (seg_mse < jnp.maximum((2.0 * sigma_seg) ** 2, 1e-5))
 
     # compact per-block label map: index into the top-K list, else -1
     remap = jnp.full((nb + 1,), -1, jnp.int32)

@@ -96,14 +96,15 @@ class TrackerConfig:
     # LM refine (solver/pose_opt.pose_optimization_joint).  This is what
     # carries tracking through low-texture frames where points alone drift
     # (SURVEY.md §6: planes help most on low texture).
-    plane_info: float = 1e4        # per-plane information (sigma ~10 mrad/
-                                   # 10 mm).  Point reproj rows carry fx/z
-                                   # ~100 each so planes only steer when
-                                   # points are few/weak — exactly the
-                                   # low-texture regime; measured best of
-                                   # {1e4,1e5,3e5} on BOTH the textured
-                                   # (2.8 vs 3.5 mm) and low-texture
-                                   # (11 vs 17.6 mm) CPU lanes.
+    plane_info: float = 1e5        # per-plane information BASE (sigma
+                                   # ~3 mrad/3 mm at nominal support),
+                                   # scaled by each observation's pixel
+                                   # support in the fused step.  Point
+                                   # reproj rows carry fx/z ~100 each so
+                                   # planes only steer when points are few/
+                                   # weak — exactly the low-texture regime;
+                                   # measured: lowtex 13.3 -> 5.5-11.1 mm,
+                                   # textured unchanged (3.3 mm), 2 seeds.
     plane_assoc_cos: float = 0.94  # association gates at the predicted pose
     plane_assoc_dist: float = 0.2
     plane_min_support: int = 300   # pixels at the UPLOAD resolution
