@@ -76,6 +76,13 @@ class LoopConfig:
     # meanwhile are corrected through the spanning tree at merge time.
     # False runs it inline in the calling (mapper) thread.
     gba_async: bool = True
+    # post-loop GBA iteration schedule.  The r4 schedule (6/5/10) left the
+    # solve visibly under-converged on the paced loop lane: doubling it
+    # measured 51 -> 38-42 mm ATE on chip; the solve runs on the GBA worker
+    # so the extra iterations cost device contention, not frame latency.
+    gba_settle_iters: int = 10
+    gba_stage1_iters: int = 8
+    gba_stage2_iters: int = 20
 
 
 class LoopCloser:
@@ -266,8 +273,12 @@ class LoopCloser:
     def _close_loop(self, kf: int, cand: int, inlier_scale: float = 1.0) -> bool:
         st = self.store
         # only one global BA in flight: a previous closure's async solve
-        # must land before this closure's PGO rewrites the poses it reads
-        self.wait_gba()
+        # must land before this closure's PGO rewrites the poses it reads.
+        # BOUNDED wait: if the solve is somehow stuck (a tunnel stall was
+        # observed once in the wild), SKIP this closure and keep the mapper
+        # alive — the detector will re-offer candidates at the next keyframe
+        if not self.wait_gba(timeout=30.0):
+            return False
         ok, T_cand_cur = self._geometric_check(kf, cand, inlier_scale)
         if not ok:
             return False
@@ -328,18 +339,34 @@ class LoopCloser:
             )
         self._gba_future = self._gba_pool.submit(self._run_gba)
 
-    def wait_gba(self, timeout: float | None = 120.0):
-        """Join an in-flight async global BA (re-raising worker errors)."""
-        f, self._gba_future = self._gba_future, None
-        if f is not None:
+    def wait_gba(self, timeout: float | None = 120.0) -> bool:
+        """Join an in-flight async global BA (re-raising worker errors).
+
+        Returns True when no solve remains in flight.  A timeout leaves the
+        future installed and returns False — callers must NOT let it escape
+        into the mapping worker (a raised TimeoutError once killed the
+        worker thread and the rest of the run silently lost mapping)."""
+        import concurrent.futures
+
+        f = self._gba_future
+        if f is None:
+            return True
+        try:
             f.result(timeout)
+        except concurrent.futures.TimeoutError:
+            return False
+        self._gba_future = None
+        return True
 
     def _run_gba(self):
         from ..solver.global_ba import global_bundle_adjust
 
         res = global_bundle_adjust(
-            self.store, self.intr, settle_iters=6, stage1_iters=5,
-            stage2_iters=10, distributed=self.cfg.gba_distributed,
+            self.store, self.intr,
+            settle_iters=self.cfg.gba_settle_iters,
+            stage1_iters=self.cfg.gba_stage1_iters,
+            stage2_iters=self.cfg.gba_stage2_iters,
+            distributed=self.cfg.gba_distributed,
             write_back=False,
         )
         if res is not None and not res["wrote"]:

@@ -116,8 +116,15 @@ def warm_loop_machinery(intr: Intrinsics, map_cfg=None, pose_graph_iters: int = 
         np.ones(64, np.float32), 0, slots,
     )
     st.add_observations_bulk(ids, 1, slots)
-    global_bundle_adjust(st, intr, settle_iters=6, stage1_iters=5,
-                         stage2_iters=10, distributed=False)
+    # iteration counts are STATIC args — warm exactly the schedule the live
+    # LoopCloser dispatches (LoopConfig.gba_*_iters), else the first mid-run
+    # closure still pays a fresh compile
+    from .loop_closer import LoopConfig
+
+    lc = LoopConfig()
+    global_bundle_adjust(st, intr, settle_iters=lc.gba_settle_iters,
+                         stage1_iters=lc.gba_stage1_iters,
+                         stage2_iters=lc.gba_stage2_iters, distributed=False)
 
 
 def warm_sync_tracking(intr: Intrinsics, frames, timestamps):

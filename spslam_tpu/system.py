@@ -51,6 +51,13 @@ class SystemConfig:
 class System:
     def __init__(self, cfg: SystemConfig):
         self.cfg = cfg
+        if cfg.map.n_kp != cfg.tracker.n_features:
+            # one knob: the store's per-KF keypoint budget always follows
+            # the tracker's feature budget (a mismatch breaks every
+            # kp-slot-indexed path at the first keyframe)
+            import dataclasses
+
+            cfg.map = dataclasses.replace(cfg.map, n_kp=cfg.tracker.n_features)
         self.store = MapStore(cfg.map)
         self.tracker = Tracker(cfg.tracker, cfg.intr, self.store)
         self.tracker.depth_factor = cfg.depth_map_factor
@@ -285,3 +292,9 @@ class System:
             self.pipeline.shutdown()
         if self.loop_closer is not None:
             self.loop_closer.wait_gba()
+            # map finalization: one more global refinement over the closed
+            # map before trajectories/checkpoints are read — the live
+            # post-closure GBA ran while keyframes were still streaming in
+            if (self.loop_closer.n_loops_closed > 0
+                    and not self.cfg.localization_only):
+                self.loop_closer._run_gba()

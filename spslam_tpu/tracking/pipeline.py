@@ -86,25 +86,38 @@ class AsyncMappingPipeline:
             try:
                 for i, (kf, gray, depth) in enumerate(items):
                     newest = i == len(items) - 1
-                    if sys_.plane_mapper is not None:
-                        sys_.plane_mapper.process_keyframe(kf, gray, depth)
-                    sys_.mapper.process_keyframe(
-                        kf, run_ba=sys_.cfg.local_ba and newest
-                    )
-                    if sys_.loop_closer is not None:
-                        closed = sys_.loop_closer.process_keyframe(
-                            kf, detect=sys_.cfg.use_loop
+                    # a failure on ONE keyframe must never kill the worker
+                    # thread — the run would silently continue without
+                    # mapping/loop closing (observed once via an escaped
+                    # wait timeout); log and keep consuming
+                    try:
+                        if sys_.plane_mapper is not None:
+                            sys_.plane_mapper.process_keyframe(kf, gray, depth)
+                        sys_.mapper.process_keyframe(
+                            kf, run_ba=sys_.cfg.local_ba and newest
                         )
-                        if closed:
-                            with sys_.store.lock:
-                                sys_.tracker.external_pose_correction(
-                                    sys_.store.kf_pose[kf]
-                                )
-                    # producer-side snapshot refresh: the BA write-back just
-                    # bumped the store version; re-gather+upload HERE (mapper
-                    # thread) so the tracker's next dispatch hits a warm
-                    # cache instead of paying the gather on its critical path
-                    sys_.tracker.refresh_snapshot_values()
+                        if sys_.loop_closer is not None:
+                            closed = sys_.loop_closer.process_keyframe(
+                                kf, detect=sys_.cfg.use_loop
+                            )
+                            if closed:
+                                with sys_.store.lock:
+                                    sys_.tracker.external_pose_correction(
+                                        sys_.store.kf_pose[kf]
+                                    )
+                        # producer-side snapshot refresh: the BA write-back
+                        # just bumped the store version; re-gather+upload
+                        # HERE (mapper thread) so the tracker's next dispatch
+                        # hits a warm cache instead of paying the gather on
+                        # its critical path
+                        sys_.tracker.refresh_snapshot_values()
+                    except Exception:
+                        import logging
+
+                        logging.getLogger(__name__).exception(
+                            "mapping worker: keyframe %d failed; continuing",
+                            kf,
+                        )
                     self.n_processed += 1
                 self.n_coalesced += max(len(items) - 1, 0)
             finally:

@@ -64,7 +64,9 @@ class TestCapacityGrowth:
 
         intr = Intrinsics(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0,
                           width=640, height=480)
-        cfg = SystemConfig(intr=intr)
+        from spslam_tpu.tracking.tracker import TrackerConfig
+
+        cfg = SystemConfig(intr=intr, tracker=TrackerConfig(n_features=8))
         cfg.map = MapConfig(max_keyframes=2, max_points=16, n_kp=8)
         sys_a = System(cfg)
         st = sys_a.store
@@ -81,7 +83,7 @@ class TestCapacityGrowth:
         path = str(tmp_path / "grown.npz")
         sys_a.save_map(path)
 
-        cfg_b = SystemConfig(intr=intr)
+        cfg_b = SystemConfig(intr=intr, tracker=TrackerConfig(n_features=8))
         cfg_b.map = MapConfig(max_keyframes=2, max_points=16, n_kp=8)
         sys_b = System(cfg_b)
         sys_b.load_map(path)
@@ -100,7 +102,9 @@ class TestCapacityGrowth:
 
         intr = Intrinsics(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0,
                           width=640, height=480)
-        cfg = SystemConfig(intr=intr)
+        from spslam_tpu.tracking.tracker import TrackerConfig
+
+        cfg = SystemConfig(intr=intr, tracker=TrackerConfig(n_features=8))
         cfg.map = MapConfig(max_keyframes=4, max_points=64, max_planes=2, n_kp=8)
         sys_a = System(cfg)
         st = sys_a.store
@@ -111,7 +115,7 @@ class TestCapacityGrowth:
         path = str(tmp_path / "planes.npz")
         sys_a.save_map(path)
 
-        cfg_b = SystemConfig(intr=intr)
+        cfg_b = SystemConfig(intr=intr, tracker=TrackerConfig(n_features=8))
         cfg_b.map = MapConfig(max_keyframes=4, max_points=64, max_planes=2, n_kp=8)
         sys_b = System(cfg_b)
         sys_b.load_map(path)

@@ -78,11 +78,11 @@ class TestTopoVersion:
                           width=640, height=480)
         tr = Tracker(TrackerConfig(local_points_cap=16), intr, st)
         tr.ref_kf = k
-        ids1, pack1, _ = tr._local_snapshot()
+        ids1, pack1, _, _pl1 = tr._local_snapshot()
         # value-only change (what BA write-back does)
         st.pt_pos[0] = [1.0, 2.0, 5.0]
         st.version += 1
-        ids2, pack2, _ = tr._local_snapshot()
+        ids2, pack2, _, _pl2 = tr._local_snapshot()
         np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
         row = int(np.nonzero(np.asarray(ids2) == 0)[0][0])
         np.testing.assert_allclose(np.asarray(pack2)[row, 0:3], [1.0, 2.0, 5.0])
@@ -93,7 +93,7 @@ class TestTopoVersion:
             np.tile(np.array([0, 0, 1], np.float32), (2, 1)),
             np.full(2, 4.0, np.float32), k, np.arange(8, 10),
         )
-        ids3, _, _ = tr._local_snapshot()
+        ids3, _, _, _ = tr._local_snapshot()
         assert (np.asarray(ids3) >= 0).sum() == 10
 
 
