@@ -58,6 +58,16 @@ class LoopConfig:
     # this still demands 2 consecutive consistent detections AND double the
     # geometric evidence.  0 disables.
     early_close_inlier_scale: float = 2.0
+    # FIRST-SIGHT closure: the single best candidate may close with no
+    # consistency history at `first_sight_inlier_scale` x the inlier bar
+    # (3x = 60+ RANSAC inliers + guided growth).  Measured on the paced
+    # 128-frame lane: closures fire 2-10 frames earlier and no false
+    # closure passed the tripled bar, but an EARLY single closure leaves
+    # the post-closure tail drifting (once the loop ends fuse, the region
+    # becomes covisible and cannot re-close) — mean ATE ~50 mm vs ~47 for
+    # the chain-based path with a much wider spread (34-73 vs 45-49).  OFF
+    # by default; useful where revisit windows are too short for any chain.
+    first_sight_inlier_scale: float = 0.0
     # absolute floor under the covisibility min-score gate (the reference's
     # DetectLoop accepts any positive minScore; with a small flat vocabulary
     # near-zero similarity floods candidates, so a floor is needed — 0.015
@@ -207,6 +217,17 @@ class LoopCloser:
                         assembly_ms=round(self.last_assembly_ms, 2),
                     ))
                     return True
+        # first-sight path: the top candidate alone, tripled bar
+        if self.cfg.first_sight_inlier_scale > 0 and cands:
+            cand = int(cands[0][0])
+            if cand not in accepted and cand not in near and self._close_loop(
+                kf, cand, inlier_scale=self.cfg.first_sight_inlier_scale
+            ):
+                self.events.append(dict(
+                    kind="closed", kf=int(kf), cand=cand, early="first",
+                    assembly_ms=round(self.last_assembly_ms, 2),
+                ))
+                return True
         return False
 
     # -----------------------------------------------------------------
